@@ -1,0 +1,207 @@
+"""Mean-scale hyperprior autoencoder compressors (v1/LHBDC latent codecs).
+
+Parity targets in /root/reference/LHBDC/model/layers.py:43-191 (M3/M4):
+  - MVCompressor: 4-channel flow-difference codec; g_a = 4x(ResBlockStride +
+    ResBlock) to /16, h_a = 5 conv3x3 (/4 further), h_s = subpel up x4 to 2N
+    params, g_s mirrors g_a with subpel upsampling.
+  - ResidualCompressor: identical topology over the 3-channel residual.
+
+The flax module computes the differentiable forward (latents, likelihoods,
+reconstruction); ``HyperpriorCoder`` orchestrates the real bitstream path,
+splitting work at the host/device boundary exactly where the reference does
+(GPU transforms / host rANS; SURVEY.md 3.2): transforms and entropy
+parameters on TPU, symbol<->byte conversion on host.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import flax.linen as nn
+
+from tpuvc.entropy.bottleneck import FactorizedBottleneck, FactorizedTables
+from tpuvc.entropy.gaussian import GaussianConditional
+from tpuvc.entropy.quant import quantize
+from tpuvc.models.layers import (
+    Conv,
+    ResidualBlock,
+    ResidualBlockUpsample,
+    ResidualBlockWithStride,
+    SubpelConv,
+)
+
+
+class MeanScaleHyperprior(nn.Module):
+    """Generic mean-scale hyperprior over ``out_channels`` signal channels."""
+
+    out_channels: int = 3
+    N: int = 128
+
+    def setup(self):
+        N = self.N
+        self.entropy_bottleneck = FactorizedBottleneck(channels=N)
+        self.gaussian = GaussianConditional()
+
+        ga = []
+        for _ in range(3):
+            ga += [ResidualBlockWithStride(N), ResidualBlock(N)]
+        ga += [Conv(N, kernel=3, stride=2)]
+        self.g_a_layers = ga
+
+        self.h_a_convs = [
+            Conv(N, kernel=3, stride=s) for s in (1, 1, 2, 1, 2)
+        ]
+
+        self.h_s_conv0 = Conv(N, kernel=3)
+        self.h_s_up0 = SubpelConv(N, r=2)
+        self.h_s_conv1 = Conv(N * 3 // 2, kernel=3)
+        self.h_s_up1 = SubpelConv(N * 3 // 2, r=2)
+        self.h_s_out = Conv(N * 2, kernel=3)
+
+        gs = []
+        for _ in range(3):
+            gs += [ResidualBlock(N), ResidualBlockUpsample(N)]
+        gs += [ResidualBlock(N), SubpelConv(self.out_channels, r=2)]
+        self.g_s_layers = gs
+
+    def g_a(self, x):
+        for layer in self.g_a_layers:
+            x = layer(x)
+        return x
+
+    def h_a(self, y):
+        x = y
+        for i, c in enumerate(self.h_a_convs):
+            x = c(x)
+            if i < len(self.h_a_convs) - 1:
+                x = nn.leaky_relu(x)
+        return x
+
+    def h_s(self, z_hat):
+        x = nn.leaky_relu(self.h_s_conv0(z_hat))
+        x = nn.leaky_relu(self.h_s_up0(x))
+        x = nn.leaky_relu(self.h_s_conv1(x))
+        x = nn.leaky_relu(self.h_s_up1(x))
+        return self.h_s_out(x)
+
+    def g_s(self, y_hat):
+        x = y_hat
+        for layer in self.g_s_layers:
+            x = layer(x)
+        return x
+
+    def analysis(self, x):
+        y = self.g_a(x)
+        z = self.h_a(y)
+        return y, z
+
+    def entropy_params(self, z_hat):
+        params = self.h_s(z_hat)
+        scales, means = jnp.split(params, 2, axis=-1)
+        return scales, means
+
+    def synthesis(self, y_hat):
+        return self.g_s(y_hat)
+
+    def __call__(self, x, mode: str = "noise", rng=None):
+        """Full differentiable pass -> dict(x_hat, likelihoods)."""
+        rngs = jax.random.split(rng, 2) if rng is not None else (None, None)
+        y, z = self.analysis(x)
+        z_hat, z_lik = self.entropy_bottleneck(z, mode, rng=rngs[0])
+        scales, means = self.entropy_params(z_hat)
+        y_hat, y_lik = self.gaussian(y, scales, means=means, mode=mode, rng=rngs[1])
+        x_hat = self.synthesis(y_hat)
+        return {"x_hat": x_hat, "likelihoods": {"y": y_lik, "z": z_lik}}
+
+    def aux_loss(self):
+        return self.entropy_bottleneck.aux_loss()
+
+
+class MVCompressor(MeanScaleHyperprior):
+    """Flow-difference codec: in 4ch (two stacked 2ch flows), out 4ch."""
+
+    out_channels: int = 4
+
+
+class ResidualCompressor(MeanScaleHyperprior):
+    """Pixel-residual codec: in/out 3ch."""
+
+    out_channels: int = 3
+
+
+class HyperpriorCoder:
+    """Host orchestration of the real bitstream path for a hyperprior module.
+
+    Mirrors the reference's compress/decompress
+    (LHBDC/model/layers.py:93-116): z via the factorized coder, y via the
+    scale-indexed Gaussian coder conditioned on h_s(z_hat).
+    """
+
+    def __init__(self, module: MeanScaleHyperprior, variables):
+        self.module = module
+        self.variables = variables
+        # CDF tables: built once per trained model (the reference's
+        # ``.update(force=True)``, LHBDC/encode_B.py:34-35).
+        eb = FactorizedBottleneck(channels=module.N)
+        self.z_tables = FactorizedTables.from_module(
+            eb, {"params": variables["params"]["entropy_bottleneck"]}
+        )
+        self.gaussian = GaussianConditional()
+        self.y_tables = self.gaussian.build_tables()
+
+        self._analysis = jax.jit(
+            lambda v, x: module.apply(v, x, method=MeanScaleHyperprior.analysis)
+        )
+        self._entropy_params = jax.jit(
+            lambda v, z: module.apply(v, z, method=MeanScaleHyperprior.entropy_params)
+        )
+        self._synthesis = jax.jit(
+            lambda v, y: module.apply(v, y, method=MeanScaleHyperprior.synthesis)
+        )
+
+    def compress(self, x: jnp.ndarray) -> dict:
+        from tpuvc.coder import encode_with_indexes
+
+        y, z = self._analysis(self.variables, x)
+        zc = z.shape[-1]
+        med = jnp.asarray(self.z_tables.medians)
+        z_sym = np.asarray(quantize(z, "symbols", means=med))
+        z_idx = np.broadcast_to(np.arange(zc, dtype=np.int32), z_sym.shape)
+        z_string = encode_with_indexes(
+            z_sym, z_idx, self.z_tables.cdfs, self.z_tables.cdf_lengths,
+            self.z_tables.offsets,
+        )
+        z_hat = jnp.asarray(z_sym, jnp.float32) + med
+        scales, means = self._entropy_params(self.variables, z_hat)
+        y_idx = np.asarray(self.gaussian.build_indexes(scales))
+        y_sym = np.asarray(quantize(y, "symbols", means=means))
+        y_string = encode_with_indexes(
+            y_sym, y_idx, self.y_tables.cdfs, self.y_tables.cdf_lengths,
+            self.y_tables.offsets,
+        )
+        return {"strings": [y_string, z_string], "shape": z.shape[1:3]}
+
+    def decompress(self, strings, shape, batch: int = 1) -> jnp.ndarray:
+        from tpuvc.coder import decode_with_indexes
+
+        y_string, z_string = strings
+        zh, zw = shape
+        zc = self.module.N
+        z_idx = np.broadcast_to(
+            np.arange(zc, dtype=np.int32), (batch, zh, zw, zc)
+        )
+        z_sym = decode_with_indexes(
+            z_string, z_idx, self.z_tables.cdfs, self.z_tables.cdf_lengths,
+            self.z_tables.offsets,
+        ).reshape(batch, zh, zw, zc)
+        med = jnp.asarray(self.z_tables.medians)
+        z_hat = jnp.asarray(z_sym, jnp.float32) + med
+        scales, means = self._entropy_params(self.variables, z_hat)
+        y_idx = np.asarray(self.gaussian.build_indexes(scales))
+        y_sym = decode_with_indexes(
+            y_string, y_idx, self.y_tables.cdfs, self.y_tables.cdf_lengths,
+            self.y_tables.offsets,
+        ).reshape(y_idx.shape)
+        y_hat = jnp.asarray(y_sym, jnp.float32) + means
+        return self._synthesis(self.variables, y_hat)

@@ -1,0 +1,249 @@
+"""Shared building blocks for the codec transforms.
+
+TPU-native equivalents of the compressai layer vocabulary the reference
+builds on (imported at /root/reference/LHBDC/model/layers.py:8-17): GDN/IGDN,
+residual blocks with stride / upsample, 3x3 convs, and subpixel upsampling.
+All modules are NHWC. GDN's channel mixing is expressed as an einsum so it
+lands on the MXU and fuses with the neighboring convolutions.
+
+Convolutions use explicit symmetric padding k//2 (the torch Conv2d
+convention) so encoder/decoder spatial alignment matches the reference
+codecs' /16 + /4 hyperprior geometry exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from tpuvc.entropy.emath import lower_bound
+from tpuvc.ops.resample import pixel_shuffle
+
+
+class Conv(nn.Module):
+    """Conv2d with torch-style symmetric padding (pad = k//2)."""
+
+    features: int
+    kernel: int = 5
+    stride: int = 1
+    zero_init: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        p = self.kernel // 2
+        kw = {}
+        if self.zero_init:
+            kw = dict(
+                kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros
+            )
+        return nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=[(p, p), (p, p)],
+            **kw,
+        )(x)
+
+
+class Deconv(nn.Module):
+    """ConvTranspose2d equivalent: upsamples H, W by exactly ``stride``."""
+
+    features: int
+    kernel: int = 5
+    stride: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.ConvTranspose(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding="SAME",
+        )(x)
+
+
+def conv3x3(features: int, stride: int = 1) -> Conv:
+    return Conv(features, kernel=3, stride=stride)
+
+
+def conv1x1(features: int, stride: int = 1) -> Conv:
+    return Conv(features, kernel=1, stride=stride)
+
+
+class SubpelConv(nn.Module):
+    """conv3x3 to C*r^2 channels followed by pixel shuffle (x r upsample)."""
+
+    features: int
+    r: int = 2
+    kernel: int = 3
+    zero_init: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        x = Conv(
+            self.features * self.r * self.r,
+            kernel=self.kernel,
+            zero_init=self.zero_init,
+        )(x)
+        return pixel_shuffle(x, self.r)
+
+
+class GDN(nn.Module):
+    """Generalized divisive normalization (inverse when ``inverse=True``).
+
+    y_c = x_c / sqrt(beta_c + sum_d gamma_{cd} x_d^2)
+
+    beta/gamma are reparametrized as sqrt-domain parameters with a lower
+    bound, matching the non-negative parametrization the reference's GDN
+    uses (via compressai; see SURVEY.md 2.1 M3/M4 transforms).
+    """
+
+    inverse: bool = False
+    beta_min: float = 1e-6
+    gamma_init: float = 0.1
+    offset: float = 2.0**-18
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        ped = self.offset**2
+        beta_raw = self.param(
+            "beta",
+            lambda rng, shape: jnp.full(shape, np.sqrt(1.0 + ped), jnp.float32),
+            (c,),
+        )
+        gamma_raw = self.param(
+            "gamma",
+            lambda rng, shape: jnp.sqrt(
+                self.gamma_init * jnp.eye(c, dtype=jnp.float32) + ped
+            ),
+            (c, c),
+        )
+        beta = lower_bound(beta_raw, float(np.sqrt(self.beta_min + ped))) ** 2 - ped
+        gamma = lower_bound(gamma_raw, self.offset) ** 2 - ped
+        # Channel mixing of x^2: one MXU matmul per call.
+        norm = jnp.einsum("...c,dc->...d", x * x, gamma) + beta
+        norm = jnp.sqrt(norm)
+        return x * norm if self.inverse else x / norm
+
+
+class ResidualBlock(nn.Module):
+    """conv3x3 -> lrelu -> conv3x3 -> lrelu, with identity (1x1 if C changes)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        out = conv3x3(self.features)(x)
+        out = nn.leaky_relu(out)
+        out = conv3x3(self.features)(out)
+        out = nn.leaky_relu(out)
+        if x.shape[-1] != self.features:
+            identity = conv1x1(self.features)(x)
+        return out + identity
+
+
+class ResidualBlockWithStride(nn.Module):
+    """conv3x3/s -> lrelu -> conv3x3 -> GDN, with strided 1x1 skip."""
+
+    features: int
+    stride: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        out = conv3x3(self.features, stride=self.stride)(x)
+        out = nn.leaky_relu(out)
+        out = conv3x3(self.features)(out)
+        out = GDN()(out)
+        if self.stride != 1 or x.shape[-1] != self.features:
+            skip = conv1x1(self.features, stride=self.stride)(x)
+        else:
+            skip = x
+        return out + skip
+
+
+class ResidualBlockUpsample(nn.Module):
+    """subpel x2 -> lrelu -> conv3x3 -> IGDN, with subpel skip."""
+
+    features: int
+    r: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        out = SubpelConv(self.features, r=self.r)(x)
+        out = nn.leaky_relu(out)
+        out = conv3x3(self.features)(out)
+        out = GDN(inverse=True)(out)
+        skip = SubpelConv(self.features, r=self.r)(x)
+        return out + skip
+
+
+class ResidualUnit(nn.Module):
+    """1x1 C/2 -> relu -> 3x3 C/2 -> relu -> 1x1 C -> relu, + identity."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        out = conv1x1(self.features // 2)(x)
+        out = nn.relu(out)
+        out = conv3x3(self.features // 2)(out)
+        out = nn.relu(out)
+        out = conv1x1(self.features)(out)
+        return nn.relu(out + x)
+
+
+class AttentionBlock(nn.Module):
+    """Cheng2020 attention: x + trunk(x) * sigmoid(gate(x))."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        a = x
+        for _ in range(3):
+            a = ResidualUnit(self.features)(a)
+        b = x
+        for _ in range(3):
+            b = ResidualUnit(self.features)(b)
+        b = conv1x1(self.features)(b)
+        return x + a * nn.sigmoid(b)
+
+
+class ResidualBottleneckBlock(nn.Module):
+    """ELIC building block: 1x1 C/2 -> 3x3 C/2 -> 1x1 C + identity.
+
+    Parity: /root/reference/ICIP2023/src/model/elic.py:69-84 (M13).
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        out = conv1x1(self.features // 2)(x)
+        out = nn.relu(out)
+        out = conv3x3(self.features // 2)(out)
+        out = nn.relu(out)
+        out = conv1x1(self.features)(out)
+        return out + x
+
+
+class Sequential(nn.Module):
+    """Apply a list of layer factories in order (parity helper for the
+    reference's nn.Sequential transform definitions)."""
+
+    layers: Sequence[Callable]
+
+    @nn.compact
+    def __call__(self, x):
+        for layer in self.layers:
+            x = layer(x) if not isinstance(layer, nn.Module) else layer(x)
+        return x
+
+
+def lrelu(x):
+    return nn.leaky_relu(x)

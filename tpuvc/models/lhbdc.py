@@ -1,0 +1,111 @@
+"""LHBDC hierarchical bi-directional B-frame codec (TIP'21 generation).
+
+TPU-native rebuild of /root/reference/LHBDC/model/m.py:20-108 (M6):
+  1. SPyNet flows between the two reference frames (halved -> linear-motion
+     priors for current<->ref flows) and from the current frame to each ref,
+     all pooled to /4 resolution.
+  2. The *differences* (flow_cur->ref minus prior) are coded by a mean-scale
+     hyperprior MV codec (4ch).
+  3. Both references are backward-warped by the reconstructed flows, blended
+     by a sigmoid occlusion mask (UNet), and the pixel residual is coded by a
+     second hyperprior codec.
+
+Contract: inputs are padded to x64 (data layer). Flows at /4 resolution are
+reflect-padded to x64 before the MV codec and cropped afterwards, exactly as
+the reference does (m.py:102-108). Rate accounting follows m.py:73-96:
+rate = (bpp_flow + bpp_residual)/2 over padded pixels, bits = total bits.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from tpuvc.entropy.emath import likelihood_to_bits
+from tpuvc.models.hyperprior import MVCompressor, ResidualCompressor
+from tpuvc.models.spynet import SPyNet
+from tpuvc.models.unet import MaskUNet
+from tpuvc.ops.pad import pad_to_multiple, unpad
+from tpuvc.ops.resample import avg_pool2d, upsample_flow
+from tpuvc.ops.warp import warp
+
+
+class LHBDC(nn.Module):
+    N: int = 128
+
+    def setup(self):
+        self.flownet = SPyNet()
+        self.mv_compressor = MVCompressor(N=self.N)
+        self.residual_compressor = ResidualCompressor(N=self.N)
+        self.masknet = MaskUNet()
+
+    def motion_priors(self, x_before, x_after):
+        """Half the ref<->ref flows at /4 res, padded to x64: the linear-motion
+        priors for the current frame's flows (m.py:38-44)."""
+        flow_ba = avg_pool2d(self.flownet(x_before, x_after) / 2.0, 4)
+        flow_ab = avg_pool2d(self.flownet(x_after, x_before) / 2.0, 4)
+        size = (flow_ba.shape[-3], flow_ba.shape[-2])
+        flow_ba, _ = pad_to_multiple(flow_ba, 64)
+        flow_ab, _ = pad_to_multiple(flow_ab, 64)
+        return flow_ba, flow_ab, size
+
+    def current_flows(self, x_current, x_before, x_after):
+        """Current->ref flows at /4 res, padded to x64 (m.py:45-50)."""
+        flow_cb = avg_pool2d(self.flownet(x_current, x_before), 4)
+        flow_ca = avg_pool2d(self.flownet(x_current, x_after), 4)
+        flow_cb, _ = pad_to_multiple(flow_cb, 64)
+        flow_ca, _ = pad_to_multiple(flow_ca, 64)
+        return flow_cb, flow_ca
+
+    def motion_compensate(self, x_before, x_after, flow_cb_hat, flow_ca_hat, size):
+        """Crop + x4 upsample decoded flows, warp both refs, mask-blend."""
+        flow_cb_hat = upsample_flow(unpad(flow_cb_hat, size), 4)
+        flow_ca_hat = upsample_flow(unpad(flow_ca_hat, size), 4)
+        fw = warp(x_before, flow_cb_hat, compat="lhbdc")
+        bw = warp(x_after, flow_ca_hat, compat="lhbdc")
+        mask = self.masknet(jnp.concatenate([fw, bw], axis=-1))
+        return mask * fw + (1.0 - mask) * bw
+
+    def __call__(self, x_before, x_current, x_after, mode: str = "noise", rng=None):
+        B, H, W, _ = x_current.shape
+        num_pixels = B * H * W
+        rngs = jax.random.split(rng, 2) if rng is not None else (None, None)
+
+        flow_ba, flow_ab, size = self.motion_priors(x_before, x_after)
+        flow_cb, flow_ca = self.current_flows(x_current, x_before, x_after)
+
+        diff_flow = jnp.concatenate(
+            [flow_cb - flow_ab, flow_ca - flow_ba], axis=-1
+        )
+        flow_out = self.mv_compressor(diff_flow, mode=mode, rng=rngs[0])
+        flow_cb_hat, flow_ca_hat = jnp.split(flow_out["x_hat"], 2, axis=-1)
+        flow_cb_hat = flow_cb_hat + flow_ab
+        flow_ca_hat = flow_ca_hat + flow_ba
+
+        x_pred = self.motion_compensate(
+            x_before, x_after, flow_cb_hat, flow_ca_hat, size
+        )
+
+        residual = x_current - x_pred
+        res_out = self.residual_compressor(residual, mode=mode, rng=rngs[1])
+        x_hat = x_pred + res_out["x_hat"]
+
+        bits_flow = sum(
+            likelihood_to_bits(l) for l in flow_out["likelihoods"].values()
+        )
+        bits_res = sum(
+            likelihood_to_bits(l) for l in res_out["likelihoods"].values()
+        )
+        rate = (bits_flow + bits_res) / (2.0 * num_pixels)
+        return {
+            "x_hat": x_hat,
+            "x_pred": x_pred,
+            "rate": rate,
+            "bits": bits_flow + bits_res,
+            "bits_flow": bits_flow,
+            "bits_residual": bits_res,
+        }
+
+    def aux_loss(self):
+        return self.mv_compressor.aux_loss() + self.residual_compressor.aux_loss()
