@@ -1,0 +1,74 @@
+"""End-to-end real-bitstream tests: the encode->decode round trip is the
+codec-correctness property (the reference's only implicit test, made
+explicit; SURVEY.md section 4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpuvc.coder.container import BFrameBitstream
+from tpuvc.models.lhbdc import LHBDC, LHBDCCoder
+
+
+class TestContainer:
+    def test_round_trip(self):
+        b = BFrameBitstream(
+            rate_id=1626,
+            mv_shape=(5, 8),
+            res_shape=(12, 20),
+            mv_y=b"abc",
+            mv_z=b"defg",
+            res_y=b"\x00\x01",
+            res_z=b"tail-bytes",
+        )
+        blob = b.serialize()
+        assert len(blob) == b.num_bytes
+        d = BFrameBitstream.deserialize(blob)
+        assert d == b
+
+
+@pytest.fixture(scope="module")
+def coder():
+    model = LHBDC(N=32)
+    x = jnp.zeros((1, 192, 192, 3), jnp.float32)
+    variables = model.init(jax.random.key(0), x, x, x, "dequantize")
+    return model, variables, LHBDCCoder(model, variables)
+
+
+class TestLHBDCBitstream:
+    def test_encode_decode_round_trip(self, coder, rng):
+        model, variables, c = coder
+        base = rng.random((1, 192, 192, 3), dtype=np.float32)
+        drift = 0.03 * rng.standard_normal((1, 192, 192, 3)).astype(np.float32)
+        xb = jnp.asarray(base)
+        xc = jnp.clip(jnp.asarray(base + 0.5 * drift), 0, 1)
+        xa = jnp.clip(jnp.asarray(base + drift), 0, 1)
+
+        bits = c.encode(xb, xc, xa, rate_id=845)
+        blob = bits.serialize()
+        parsed = BFrameBitstream.deserialize(blob)
+        x_hat = c.decode(xb, xa, parsed)
+        assert x_hat.shape == xc.shape
+        assert np.all(np.isfinite(np.asarray(x_hat)))
+
+        # Decode must be reproducible bit-for-bit.
+        x_hat2 = c.decode(xb, xa, parsed)
+        np.testing.assert_array_equal(np.asarray(x_hat), np.asarray(x_hat2))
+
+    def test_stream_bits_close_to_likelihood_bits(self, coder, rng):
+        model, variables, c = coder
+        base = rng.random((1, 192, 192, 3), dtype=np.float32)
+        drift = 0.03 * rng.standard_normal((1, 192, 192, 3)).astype(np.float32)
+        xb = jnp.asarray(base)
+        xc = jnp.clip(jnp.asarray(base + 0.5 * drift), 0, 1)
+        xa = jnp.clip(jnp.asarray(base + drift), 0, 1)
+
+        bits = c.encode(xb, xc, xa)
+        out = model.apply(variables, xb, xc, xa, "dequantize")
+        est_bits = float(out["bits"])
+        real_bits = bits.num_bytes * 8
+        # Real streams carry rANS + container overhead; they must agree to
+        # within ~10% + a fixed overhead (SURVEY.md 7.3 item 6).
+        assert real_bits < est_bits * 1.10 + 1500, (real_bits, est_bits)
+        assert real_bits > est_bits * 0.85 - 200, (real_bits, est_bits)

@@ -1,0 +1,62 @@
+"""Decode one B-frame bitstream back to a PNG.
+
+CLI mirror of /root/reference/LHBDC/decode_B.py:23-28:
+
+    python -m tpuvc.cli.decode_b --ref_1 a.png --ref_2 b.png \
+        --bin out.bin --out decoded.png --weights dir/
+
+The lambda (and thus the weights file) is read from the bitstream header,
+exactly like the reference (decode_B.py:89, 110).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--ref_1", default="frames/ref_1.png")
+    p.add_argument("--ref_2", default="frames/ref_2.png")
+    p.add_argument("--bin", default="bits.bin")
+    p.add_argument("--out", default="decoded.png")
+    p.add_argument("--weights", default="pretrained_weights")
+    p.add_argument("--init", choices=["load", "random"], default="load")
+    p.add_argument("--N", type=int, default=128)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+
+    from tpuvc.coder.container import BFrameBitstream
+    from tpuvc.data.frames import float_to_uint8, prepare_frame, save_png
+    from tpuvc.models.lhbdc import LHBDC, LHBDCCoder
+    from tpuvc.utils.checkpoint import load_checkpoint
+
+    with open(args.bin, "rb") as f:
+        bits = BFrameBitstream.deserialize(f.read())
+
+    model = LHBDC(N=args.N)
+    if args.init == "load":
+        path = os.path.join(args.weights, f"compression_{bits.rate_id}.msgpack")
+        variables = {"params": load_checkpoint(path)["params"]}
+    else:
+        x = jnp.zeros((1, 192, 192, 3), jnp.float32)
+        variables = model.init(jax.random.key(0), x, x, x, "dequantize")
+    coder = LHBDCCoder(model, variables)
+
+    x_before, size = prepare_frame(args.ref_1)
+    x_after, _ = prepare_frame(args.ref_2)
+    x_hat = coder.decode(jnp.asarray(x_before), jnp.asarray(x_after), bits)
+    h, w = size
+    img = float_to_uint8(jax.device_get(x_hat)[0, :h, :w])
+    save_png(args.out, img)
+    print(f"decoded {args.out} ({h}x{w})")
+
+
+if __name__ == "__main__":
+    main()

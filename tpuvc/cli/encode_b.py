@@ -1,0 +1,72 @@
+"""Encode one B-frame to a real bitstream.
+
+CLI mirror of /root/reference/LHBDC/encode_B.py:21-37:
+
+    python -m tpuvc.cli.encode_b --ref_1 a.png --ref_2 b.png \
+        --current c.png --bin out.bin --l 1626 --weights dir/
+
+Weights are loaded from ``{weights}/compression_{l}.msgpack`` (the reference's
+``compression_{lambda}.pth`` naming, encode_B.py:33); ``--init random`` skips
+loading for smoke tests.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--ref_1", default="frames/ref_1.png")
+    p.add_argument("--ref_2", default="frames/ref_2.png")
+    p.add_argument("--current", default="frames/current.png")
+    p.add_argument("--bin", default="bits.bin")
+    p.add_argument("--l", type=int, default=1626,
+                   help="lambda rate point (228|436|845|1626|3141)")
+    p.add_argument("--weights", default="pretrained_weights")
+    p.add_argument("--init", choices=["load", "random"], default="load")
+    p.add_argument("--N", type=int, default=128)
+    return p
+
+
+def load_model(args):
+    import jax
+    import jax.numpy as jnp
+
+    from tpuvc.models.lhbdc import LHBDC
+    from tpuvc.utils.checkpoint import load_checkpoint
+
+    model = LHBDC(N=args.N)
+    if args.init == "load":
+        path = os.path.join(args.weights, f"compression_{args.l}.msgpack")
+        variables = {"params": load_checkpoint(path)["params"]}
+    else:
+        x = jnp.zeros((1, 192, 192, 3), jnp.float32)
+        variables = model.init(jax.random.key(0), x, x, x, "dequantize")
+    return model, variables
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    import jax.numpy as jnp
+
+    from tpuvc.data.frames import prepare_frame
+    from tpuvc.models.lhbdc import LHBDCCoder
+
+    model, variables = load_model(args)
+    coder = LHBDCCoder(model, variables)
+    x_before, _ = prepare_frame(args.ref_1)
+    x_after, _ = prepare_frame(args.ref_2)
+    x_current, _ = prepare_frame(args.current)
+    bits = coder.encode(
+        jnp.asarray(x_before), jnp.asarray(x_current), jnp.asarray(x_after),
+        rate_id=args.l,
+    )
+    with open(args.bin, "wb") as f:
+        f.write(bits.serialize())
+    print(f"wrote {bits.num_bytes} bytes to {args.bin}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,76 @@
+"""Binary bitstream containers for coded frames.
+
+Layout-compatible with the reference's B-frame container (E7;
+/root/reference/LHBDC/encode_B.py:114-126 and decode_B.py:88-104):
+
+  uint32 rate_id (lambda for LHBDC, packed (n, l) for Flex-Rate)
+  uint16 x2 mv z-shape (h, w)
+  uint32 mv y-string length
+  uint32 mv z-string length
+  uint16 x2 residual z-shape
+  uint32 residual y-string length
+  raw bytes: mv_y | mv_z | res_y | res_z   (res_z runs to EOF)
+
+All integers little-endian.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+
+@dataclass
+class BFrameBitstream:
+    rate_id: int
+    mv_shape: tuple[int, int]
+    res_shape: tuple[int, int]
+    mv_y: bytes
+    mv_z: bytes
+    res_y: bytes
+    res_z: bytes
+
+    HEADER_BYTES = 24  # struct.calcsize("<IHHIIHHI")
+
+    @property
+    def num_bytes(self) -> int:
+        return self.HEADER_BYTES + len(self.mv_y) + len(self.mv_z) + len(
+            self.res_y
+        ) + len(self.res_z)
+
+    def serialize(self) -> bytes:
+        head = struct.pack(
+            "<IHHIIHHI",
+            self.rate_id,
+            self.mv_shape[0],
+            self.mv_shape[1],
+            len(self.mv_y),
+            len(self.mv_z),
+            self.res_shape[0],
+            self.res_shape[1],
+            len(self.res_y),
+        )
+        return head + self.mv_y + self.mv_z + self.res_y + self.res_z
+
+    @classmethod
+    def deserialize(cls, blob: bytes) -> "BFrameBitstream":
+        rate_id, mh, mw, n_mvy, n_mvz, rh, rw, n_resy = struct.unpack(
+            "<IHHIIHHI", blob[: cls.HEADER_BYTES]
+        )
+        off = cls.HEADER_BYTES
+        mv_y = blob[off : off + n_mvy]
+        off += n_mvy
+        mv_z = blob[off : off + n_mvz]
+        off += n_mvz
+        res_y = blob[off : off + n_resy]
+        off += n_resy
+        res_z = blob[off:]
+        return cls(
+            rate_id=rate_id,
+            mv_shape=(mh, mw),
+            res_shape=(rh, rw),
+            mv_y=mv_y,
+            mv_z=mv_z,
+            res_y=res_y,
+            res_z=res_z,
+        )

@@ -1,0 +1,352 @@
+"""Flex-Rate codec (ICIP'22): one model, many rates via gain units.
+
+TPU-native rebuild of /root/reference/Flex-Rate-Hier-Bidir-Video-Compression:
+  - Gain_Module (b_model/layers.py:40-73, M8): learned per-level per-channel
+    latent scaling with exponential interpolation between adjacent levels
+    |g_n|^l * |g_{n+1}|^(1-l); separate forward/inverse and hyper instances.
+  - FlowCompressor (layers.py:76-189, M9): gained mean-scale hyperprior over
+    a 19-channel motion context, emitting a 4-channel flow *refinement*
+    (zero-initialized final conv).
+  - ResidualCompressor (layers.py:192-305, M10): same with 3 channels.
+  - BidirFlowRef (b_model/b_model.py:21-96, M7/M11): UNet flow prediction
+    between the references, linear-motion projection to t=0.5, coded flow
+    refinement, warping, 2-channel softmask blend, coded residual.
+
+Deliberate behavioral fixes (documented per SURVEY.md 7.4):
+  - The reference's ``FlowCompressor.compress`` feeds the *ungained* y to the
+    Gaussian coder (layers.py:167) while forward codes the gained y; we code
+    the gained latent in both paths so streams match the training RD.
+  - The reference's stream-path ``decompress`` clamps flow refinements and
+    residuals to [0, 1] (layers.py:177, 305) even though both are signed;
+    we do not clamp (the forward/likelihood path that produced the published
+    RD numbers never clamps either).
+  - Warps use border padding at exact pixel offsets rather than the
+    reference's zero-padding half-pixel-shifted grid (b_model.py:99-112);
+    the learned refinement absorbs the convention change.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import flax.linen as nn
+
+from tpuvc.entropy.emath import likelihood_to_bits
+from tpuvc.models.hyperprior import MeanScaleHyperprior
+from tpuvc.models.unet import UNet
+from tpuvc.ops.warp import warp
+
+
+class GainModule(nn.Module):
+    """Per-level, per-channel latent gain with fractional-level interpolation."""
+
+    n_levels: int = 6
+    channels: int = 128
+
+    @nn.compact
+    def __call__(self, x, n, l=1.0):
+        gain_matrix = self.param(
+            "gain_matrix",
+            lambda rng, shape: jnp.ones(shape, jnp.float32),
+            (self.n_levels, self.channels),
+        )
+        n = jnp.asarray(n, jnp.int32)
+        l = jnp.asarray(l, x.dtype)
+        g1 = jnp.abs(gain_matrix[n])
+        g2 = jnp.abs(gain_matrix[jnp.clip(n + 1, 0, self.n_levels - 1)])
+        gain = g1**l * g2 ** (1.0 - l)
+        # gain: (C,) for scalar n, or (B, C) for per-sample n.
+        if gain.ndim == 1:
+            return x * gain
+        return x * gain[:, None, None, :]
+
+
+class GainedHyperprior(MeanScaleHyperprior):
+    """Mean-scale hyperprior with forward/inverse gain units on y and z."""
+
+    n_levels: int = 6
+
+    def setup(self):
+        super().setup()
+        mk = lambda: GainModule(n_levels=self.n_levels, channels=self.N)
+        self.gain_unit = mk()
+        self.inv_gain_unit = mk()
+        self.hyper_gain_unit = mk()
+        self.hyper_inv_gain_unit = mk()
+
+    def gained_analysis(self, x, n, l=1.0):
+        y = self.g_a(x)
+        scaled_y = self.gain_unit(y, n, l)
+        z = self.h_a(scaled_y)
+        scaled_z = self.hyper_gain_unit(z, n, l)
+        return scaled_y, scaled_z
+
+    def gained_entropy_params(self, z_hat, n, l=1.0):
+        scaled_z_hat = self.hyper_inv_gain_unit(z_hat, n, l)
+        return self.entropy_params(scaled_z_hat)
+
+    def gained_synthesis(self, y_hat, n, l=1.0):
+        return self.g_s(self.inv_gain_unit(y_hat, n, l))
+
+    def __call__(self, x, n, l=1.0, mode: str = "noise", rng=None):
+        rngs = jax.random.split(rng, 2) if rng is not None else (None, None)
+        scaled_y, scaled_z = self.gained_analysis(x, n, l)
+        z_hat, z_lik = self.entropy_bottleneck(scaled_z, mode, rng=rngs[0])
+        scales, means = self.gained_entropy_params(z_hat, n, l)
+        y_hat, y_lik = self.gaussian(
+            scaled_y, scales, means=means, mode=mode, rng=rngs[1]
+        )
+        x_hat = self.gained_synthesis(y_hat, n, l)
+        return {"x_hat": x_hat, "likelihoods": {"y": y_lik, "z": z_lik}}
+
+
+class FlexFlowCompressor(GainedHyperprior):
+    """19ch motion context in, 4ch flow refinement out, zero-init output."""
+
+    out_channels: int = 4
+    zero_init_out: bool = True
+
+
+class FlexResidualCompressor(GainedHyperprior):
+    out_channels: int = 3
+
+
+def _per_sample_bits(likelihoods: jnp.ndarray) -> jnp.ndarray:
+    from tpuvc.entropy.emath import LIKELIHOOD_BOUND, lower_bound
+
+    p = lower_bound(likelihoods, LIKELIHOOD_BOUND)
+    return jnp.sum(jnp.log(p), axis=(1, 2, 3)) / (-np.log(2.0))
+
+
+class BidirFlowRef(nn.Module):
+    """Flex-Rate B-frame codec with flow prediction + coded refinement."""
+
+    n_levels: int = 6
+    N: int = 128
+
+    def setup(self):
+        self.flow_predictor = UNet(out_channels=4, depth=5, wf=5)
+        self.mask = UNet(out_channels=2, depth=4, wf=5)
+        self.flow_compressor = FlexFlowCompressor(
+            N=self.N, n_levels=self.n_levels
+        )
+        self.residual_compressor = FlexResidualCompressor(
+            N=self.N, n_levels=self.n_levels
+        )
+
+    def process(self, x0, x1, t: float = 0.5):
+        """Predict bidirectional flow and project to time t (b_model.py:35-45)."""
+        x = jnp.concatenate([x0, x1], axis=-1)
+        flow = self.flow_predictor(x)
+        flow_0_1, flow_1_0 = flow[..., :2], flow[..., 2:4]
+        flow_t_0 = -(1 - t) * t * flow_0_1 + t * t * flow_1_0
+        flow_t_1 = (1 - t) * (1 - t) * flow_0_1 - t * (1 - t) * flow_1_0
+        xt1 = warp(x0, flow_t_0)
+        xt2 = warp(x1, flow_t_1)
+        context = jnp.concatenate([flow_t_0, flow_t_1, x, xt1, xt2], axis=-1)
+        return flow_t_0, flow_t_1, context
+
+    def compensate(self, x_before, x_after, mv_before, mv_after):
+        """Warp both refs and blend with the 2-channel softmask."""
+        x_b = warp(x_before, mv_before)
+        x_a = warp(x_after, mv_after)
+        ctx = jnp.concatenate(
+            [mv_before, mv_after, x_before, x_after, x_b, x_a], axis=-1
+        )
+        m = nn.sigmoid(self.mask(ctx))
+        w1 = 0.5 * m[..., 0:1]
+        w2 = 0.5 * m[..., 1:2]
+        return (w1 * x_b + w2 * x_a) / (w1 + w2 + 1e-8)
+
+    def __call__(self, x_before, x_current, x_after, n, l=1.0,
+                 mode: str = "noise", rng=None):
+        num_pixels = x_current.shape[1] * x_current.shape[2]
+        rngs = jax.random.split(rng, 2) if rng is not None else (None, None)
+
+        mv_before, mv_after, context = self.process(x_before, x_after)
+        x_input = jnp.concatenate([context, x_current], axis=-1)
+        flow_out = self.flow_compressor(x_input, n, l, mode=mode, rng=rngs[0])
+        flow_hat = flow_out["x_hat"]
+        mv_before_refined = mv_before + flow_hat[..., :2]
+        mv_after_refined = mv_after + flow_hat[..., 2:4]
+
+        x_comp = self.compensate(
+            x_before, x_after, mv_before_refined, mv_after_refined
+        )
+        residual = x_current - x_comp
+        res_out = self.residual_compressor(residual, n, l, mode=mode, rng=rngs[1])
+        x_hat = x_comp + res_out["x_hat"]
+
+        # Per-sample bit accounting (b_model.py:84-94: sum over CHW only).
+        size = sum(
+            _per_sample_bits(lk) for lk in flow_out["likelihoods"].values()
+        ) + sum(_per_sample_bits(lk) for lk in res_out["likelihoods"].values())
+        return {
+            "x_hat": x_hat,
+            "x_comp": x_comp,
+            "size": size,
+            "rate": size / num_pixels,
+        }
+
+    def aux_loss(self):
+        return (
+            self.flow_compressor.aux_loss()
+            + self.residual_compressor.aux_loss()
+        )
+
+
+class GainedHyperpriorCoder:
+    """Real-bitstream path for a GainedHyperprior at a given (n, l).
+
+    Mirrors Flex-Rate.../b_model/layers.py:153-189 compress/decompress with
+    the gain fix described in the module docstring.
+    """
+
+    def __init__(self, module: GainedHyperprior, variables):
+        from tpuvc.entropy.bottleneck import FactorizedBottleneck, FactorizedTables
+        from tpuvc.entropy.gaussian import GaussianConditional
+
+        self.module = module
+        self.variables = variables
+        eb = FactorizedBottleneck(channels=module.N)
+        self.z_tables = FactorizedTables.from_module(
+            eb, {"params": variables["params"]["entropy_bottleneck"]}
+        )
+        self.gaussian = GaussianConditional()
+        self.y_tables = self.gaussian.build_tables()
+        self._analysis = jax.jit(
+            lambda v, x, n, l: module.apply(
+                v, x, n, l, method=GainedHyperprior.gained_analysis
+            )
+        )
+        self._entropy_params = jax.jit(
+            lambda v, z, n, l: module.apply(
+                v, z, n, l, method=GainedHyperprior.gained_entropy_params
+            )
+        )
+        self._synthesis = jax.jit(
+            lambda v, y, n, l: module.apply(
+                v, y, n, l, method=GainedHyperprior.gained_synthesis
+            )
+        )
+
+    def compress(self, x, n: int, l: float = 1.0) -> dict:
+        from tpuvc.coder import encode_with_indexes
+        from tpuvc.entropy.quant import quantize
+
+        scaled_y, scaled_z = self._analysis(self.variables, x, n, l)
+        zc = scaled_z.shape[-1]
+        med = jnp.asarray(self.z_tables.medians)
+        z_sym = np.asarray(quantize(scaled_z, "symbols", means=med))
+        z_idx = np.broadcast_to(np.arange(zc, dtype=np.int32), z_sym.shape)
+        z_string = encode_with_indexes(
+            z_sym, z_idx, self.z_tables.cdfs, self.z_tables.cdf_lengths,
+            self.z_tables.offsets,
+        )
+        z_hat = jnp.asarray(z_sym, jnp.float32) + med
+        scales, means = self._entropy_params(self.variables, z_hat, n, l)
+        y_idx = np.asarray(self.gaussian.build_indexes(scales))
+        y_sym = np.asarray(quantize(scaled_y, "symbols", means=means))
+        y_string = encode_with_indexes(
+            y_sym, y_idx, self.y_tables.cdfs, self.y_tables.cdf_lengths,
+            self.y_tables.offsets,
+        )
+        return {"strings": [y_string, z_string], "shape": scaled_z.shape[1:3]}
+
+    def decompress(self, strings, shape, n: int, l: float = 1.0, batch: int = 1):
+        from tpuvc.coder import decode_with_indexes
+
+        y_string, z_string = strings
+        zh, zw = shape
+        zc = self.module.N
+        z_idx = np.broadcast_to(np.arange(zc, dtype=np.int32), (batch, zh, zw, zc))
+        z_sym = decode_with_indexes(
+            z_string, z_idx, self.z_tables.cdfs, self.z_tables.cdf_lengths,
+            self.z_tables.offsets,
+        ).reshape(batch, zh, zw, zc)
+        z_hat = jnp.asarray(z_sym, jnp.float32) + jnp.asarray(self.z_tables.medians)
+        scales, means = self._entropy_params(self.variables, z_hat, n, l)
+        y_idx = np.asarray(self.gaussian.build_indexes(scales))
+        y_sym = decode_with_indexes(
+            y_string, y_idx, self.y_tables.cdfs, self.y_tables.cdf_lengths,
+            self.y_tables.offsets,
+        ).reshape(y_idx.shape)
+        y_hat = jnp.asarray(y_sym, jnp.float32) + means
+        return self._synthesis(self.variables, y_hat, n, l)
+
+
+class FlexRateCoder:
+    """Real-bitstream encode/decode for the Flex-Rate B-frame codec at (n, l).
+
+    Mirrors Flex-Rate.../test/encode_B.py / decode_B.py: the decoder re-runs
+    flow prediction on the reconstructed references, decodes the refinement,
+    compensates, and adds the decoded residual.
+    """
+
+    def __init__(self, model: BidirFlowRef, variables):
+        self.model = model
+        self.variables = variables
+        params = variables["params"]
+        self.flow_coder = GainedHyperpriorCoder(
+            FlexFlowCompressor(N=model.N, n_levels=model.n_levels),
+            {"params": params["flow_compressor"]},
+        )
+        self.res_coder = GainedHyperpriorCoder(
+            FlexResidualCompressor(N=model.N, n_levels=model.n_levels),
+            {"params": params["residual_compressor"]},
+        )
+        self._process = jax.jit(
+            lambda v, x0, x1: model.apply(v, x0, x1, method=BidirFlowRef.process)
+        )
+        self._compensate = jax.jit(
+            lambda v, xb, xa, mvb, mva: model.apply(
+                v, xb, xa, mvb, mva, method=BidirFlowRef.compensate
+            )
+        )
+
+    def _predict(self, x_before, x_after, mv_strings, mv_shape, n, l):
+        mv_before, mv_after, _ = self._process(self.variables, x_before, x_after)
+        flow_hat = self.flow_coder.decompress(mv_strings, mv_shape, n, l)
+        return self._compensate(
+            self.variables,
+            x_before,
+            x_after,
+            mv_before + flow_hat[..., :2],
+            mv_after + flow_hat[..., 2:4],
+        )
+
+    def encode(self, x_before, x_current, x_after, n: int, l: float = 1.0):
+        from tpuvc.coder.container import BFrameBitstream
+
+        _, _, context = self._process(self.variables, x_before, x_after)
+        x_input = jnp.concatenate([context, x_current], axis=-1)
+        mv = self.flow_coder.compress(x_input, n, l)
+        x_comp = self._predict(x_before, x_after, mv["strings"], mv["shape"], n, l)
+        res = self.res_coder.compress(x_current - x_comp, n, l)
+        # rate_id packs (n, round(l * 1000)) like the reference packs lambda.
+        rate_id = n * 100000 + int(round(l * 1000))
+        return BFrameBitstream(
+            rate_id=rate_id,
+            mv_shape=tuple(mv["shape"]),
+            res_shape=tuple(res["shape"]),
+            mv_y=mv["strings"][0],
+            mv_z=mv["strings"][1],
+            res_y=res["strings"][0],
+            res_z=res["strings"][1],
+        )
+
+    @staticmethod
+    def parse_rate_id(rate_id: int) -> tuple[int, float]:
+        return rate_id // 100000, (rate_id % 100000) / 1000.0
+
+    def decode(self, x_before, x_after, bitstream):
+        n, l = self.parse_rate_id(bitstream.rate_id)
+        x_comp = self._predict(
+            x_before, x_after, [bitstream.mv_y, bitstream.mv_z],
+            bitstream.mv_shape, n, l,
+        )
+        res_hat = self.res_coder.decompress(
+            [bitstream.res_y, bitstream.res_z], bitstream.res_shape, n, l
+        )
+        return x_comp + res_hat

@@ -37,6 +37,7 @@ class MeanScaleHyperprior(nn.Module):
 
     out_channels: int = 3
     N: int = 128
+    zero_init_out: bool = False
 
     def setup(self):
         N = self.N
@@ -62,7 +63,13 @@ class MeanScaleHyperprior(nn.Module):
         gs = []
         for _ in range(3):
             gs += [ResidualBlock(N), ResidualBlockUpsample(N)]
-        gs += [ResidualBlock(N), SubpelConv(self.out_channels, r=2)]
+        gs += [
+            ResidualBlock(N),
+            # Flex-Rate zero-inits the final synthesis conv so the codec
+            # starts as an identity refinement (Flex-Rate.../b_model/
+            # layers.py:125-126).
+            SubpelConv(self.out_channels, r=2, zero_init=self.zero_init_out),
+        ]
         self.g_s_layers = gs
 
     def g_a(self, x):

@@ -109,3 +109,96 @@ class LHBDC(nn.Module):
 
     def aux_loss(self):
         return self.mv_compressor.aux_loss() + self.residual_compressor.aux_loss()
+
+
+class LHBDCCoder:
+    """Real-bitstream encode/decode for the LHBDC codec.
+
+    Mirrors /root/reference/LHBDC/encode_B.py:71-105 and decode_B.py:65-84:
+    the decoder re-estimates flow from the two *reconstructed* reference
+    frames, so encoder and decoder must produce bit-identical flow — XLA's
+    deterministic execution gives this for free (the reference needed
+    cudnn.deterministic). Note: the reference scripts swap flow_ab/flow_ba
+    through ``pad`` (encode_B.py:78-79); we use the training-time assignment
+    on both sides, which preserves enc/dec agreement (SURVEY.md 7.4).
+
+    The encoder reconstructs the prediction from *decoded* latents (running
+    the same decompress path as the decoder) so drift is structurally
+    impossible.
+    """
+
+    def __init__(self, model: LHBDC, variables):
+        from tpuvc.models.hyperprior import HyperpriorCoder
+
+        self.model = model
+        self.variables = variables
+        params = variables["params"]
+        self.mv_coder = HyperpriorCoder(
+            MVCompressor(N=model.N), {"params": params["mv_compressor"]}
+        )
+        self.res_coder = HyperpriorCoder(
+            ResidualCompressor(N=model.N), {"params": params["residual_compressor"]}
+        )
+        self._motion_priors = jax.jit(
+            lambda v, xb, xa: model.apply(v, xb, xa, method=LHBDC.motion_priors)[:2]
+        )
+        self._current_flows = jax.jit(
+            lambda v, xc, xb, xa: model.apply(
+                v, xc, xb, xa, method=LHBDC.current_flows
+            )
+        )
+        self._compensate = jax.jit(
+            lambda v, xb, xa, fcb, fca, size: model.apply(
+                v, xb, xa, fcb, fca, size, method=LHBDC.motion_compensate
+            ),
+            static_argnums=(5,),
+        )
+
+    def _predict(self, x_before, x_after, mv_strings, mv_shape):
+        """Shared enc/dec prediction from refs + decoded MV stream."""
+        size = (x_before.shape[1] // 4, x_before.shape[2] // 4)
+        flow_ba, flow_ab = self._motion_priors(
+            self.variables, x_before, x_after
+        )
+        flow_hat = self.mv_coder.decompress(mv_strings, mv_shape)
+        flow_cb_hat, flow_ca_hat = jnp.split(flow_hat, 2, axis=-1)
+        flow_cb_hat = flow_cb_hat + flow_ab
+        flow_ca_hat = flow_ca_hat + flow_ba
+        return self._compensate(
+            self.variables, x_before, x_after, flow_cb_hat, flow_ca_hat, size
+        )
+
+    def encode(self, x_before, x_current, x_after, rate_id: int = 0):
+        from tpuvc.coder.container import BFrameBitstream
+
+        flow_ba, flow_ab = self._motion_priors(
+            self.variables, x_before, x_after
+        )
+        flow_cb, flow_ca = self._current_flows(
+            self.variables, x_current, x_before, x_after
+        )
+        diff_flow = jnp.concatenate(
+            [flow_cb - flow_ab, flow_ca - flow_ba], axis=-1
+        )
+        mv = self.mv_coder.compress(diff_flow)
+        x_pred = self._predict(x_before, x_after, mv["strings"], mv["shape"])
+        residual = x_current - x_pred
+        res = self.res_coder.compress(residual)
+        return BFrameBitstream(
+            rate_id=rate_id,
+            mv_shape=tuple(mv["shape"]),
+            res_shape=tuple(res["shape"]),
+            mv_y=mv["strings"][0],
+            mv_z=mv["strings"][1],
+            res_y=res["strings"][0],
+            res_z=res["strings"][1],
+        )
+
+    def decode(self, x_before, x_after, bitstream) -> jnp.ndarray:
+        x_pred = self._predict(
+            x_before, x_after, [bitstream.mv_y, bitstream.mv_z], bitstream.mv_shape
+        )
+        res_hat = self.res_coder.decompress(
+            [bitstream.res_y, bitstream.res_z], bitstream.res_shape
+        )
+        return x_pred + res_hat
