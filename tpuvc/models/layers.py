@@ -215,18 +215,19 @@ class AttentionBlock(nn.Module):
 
 
 class ResidualBottleneckBlock(nn.Module):
-    """ELIC building block: 1x1 C/2 -> 3x3 C/2 -> 1x1 C + identity.
+    """ELIC building block: 1x1 -> relu -> 3x3 -> relu -> 1x1, + identity.
 
-    Parity: /root/reference/ICIP2023/src/model/elic.py:69-84 (M13).
+    Parity: /root/reference/ICIP2023/src/model/elic.py:69-84 (M13) — the
+    reference keeps full width through the block (no C/2 squeeze).
     """
 
     features: int
 
     @nn.compact
     def __call__(self, x):
-        out = conv1x1(self.features // 2)(x)
+        out = conv1x1(self.features)(x)
         out = nn.relu(out)
-        out = conv3x3(self.features // 2)(out)
+        out = conv3x3(self.features)(out)
         out = nn.relu(out)
         out = conv1x1(self.features)(out)
         return out + x
