@@ -1,0 +1,146 @@
+"""Modulated deformable convolution, TPU-native.
+
+Replacement for torchvision.ops.DeformConv2d (CUDA/C++; used by the reference
+at /root/reference/ICIP2023/src/model/m.py:29-34 (M16) and
+ICIP2024/src/model/helpers.py:35-69 (M20, OffsetDiversity)).
+
+TPU formulation (SURVEY.md 2.3): instead of a per-pixel gather kernel, the
+K*K taps are unrolled — each tap is one batched bilinear warp (the same
+gather-based warp as motion compensation, with the offset group folded into
+the batch axis) followed by a mask multiply and a grouped 1x1 contraction on
+the MXU. Peak memory stays at 1x the input (taps accumulate), and XLA fuses
+mask/scale elementwise work into the contraction.
+
+Semantics match torchvision: sampling at p + base_tap + offset with *zero*
+padding outside the frame, modulation mask applied to sampled values, weight
+groups = offset groups (the reference always uses them equal).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _warp_zero_pad(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample with zero padding outside (torchvision deform conv
+    convention), batched over leading dim. img (B,H,W,C), flow (B,H,W,2)."""
+    B, H, W, C = img.shape
+    xs = jnp.arange(W, dtype=flow.dtype)
+    ys = jnp.arange(H, dtype=flow.dtype)
+    x = xs[None, None, :] + flow[..., 0]
+    y = ys[None, :, None] + flow[..., 1]
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+
+    def corner(yi, xi, w):
+        valid = (
+            (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
+        )
+        xc = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
+        yc = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
+        idx = (yc * W + xc).reshape(B, H * W, 1)
+        v = jnp.take_along_axis(
+            img.reshape(B, H * W, C), idx, axis=1
+        ).reshape(B, H, W, C)
+        return v * (w * valid)[..., None]
+
+    return (
+        corner(y0, x0, (1 - fy) * (1 - fx))
+        + corner(y0, x0 + 1, (1 - fy) * fx)
+        + corner(y0 + 1, x0, fy * (1 - fx))
+        + corner(y0 + 1, x0 + 1, fy * fx)
+    )
+
+
+def deform_conv2d(
+    x: jnp.ndarray,
+    offsets: jnp.ndarray,
+    masks: jnp.ndarray | None,
+    weight: jnp.ndarray,
+    bias: jnp.ndarray | None,
+    groups: int,
+    kernel: int = 3,
+) -> jnp.ndarray:
+    """Modulated deformable convolution.
+
+    Args:
+      x: (B, H, W, C_in).
+      offsets: (B, H, W, G*K*K*2) — per offset-group, per tap (dy, dx) pairs
+        in torchvision order: channel 2*(g*K*K + k) is dy, +1 is dx, with tap
+        index k = ky*K + kx scanning the kernel row-major.
+      masks: (B, H, W, G*K*K) modulation in [0,1], or None.
+      weight: (K, K, C_in // G, C_out) HWIO with C_out grouped: output slice
+        g takes input slice g (grouped conv).
+      bias: (C_out,) or None.
+      groups: number of weight==offset groups G.
+    """
+    B, H, W, C = x.shape
+    K = kernel
+    G = groups
+    Cg = C // G
+    C_out = weight.shape[-1]
+    Og = C_out // G
+    assert offsets.shape[-1] == G * K * K * 2, offsets.shape
+
+    # Group-major reshape: (B, H, W, G, ...) -> fold G into batch.
+    xg = jnp.moveaxis(
+        x.reshape(B, H, W, G, Cg), 3, 1
+    ).reshape(B * G, H, W, Cg)
+    off = jnp.moveaxis(
+        offsets.reshape(B, H, W, G, K * K, 2), 3, 1
+    ).reshape(B * G, H, W, K * K, 2)
+    if masks is not None:
+        m = jnp.moveaxis(
+            masks.reshape(B, H, W, G, K * K), 3, 1
+        ).reshape(B * G, H, W, K * K)
+
+    # weight (K,K,Cg,C_out) -> per-tap grouped weights (K*K, G, Cg, Og)
+    wk = weight.reshape(K * K, Cg, G, Og)
+
+    pad = K // 2
+    acc = jnp.zeros((B, G, H, W, Og), x.dtype)
+    for k in range(K * K):
+        ky, kx = divmod(k, K)
+        base = jnp.asarray([kx - pad, ky - pad], x.dtype)
+        # torchvision offset order is (dy, dx); our warp takes (dx, dy).
+        flow = off[..., k, ::-1] + base
+        sampled = _warp_zero_pad(xg, flow)  # (B*G, H, W, Cg)
+        if masks is not None:
+            sampled = sampled * m[..., k][..., None]
+        sampled = sampled.reshape(B, G, H, W, Cg)
+        acc = acc + jnp.einsum(
+            "bghwc,cgo->bghwo", sampled, wk[k],
+            preferred_element_type=x.dtype,
+        )
+    out = jnp.moveaxis(acc, 1, -2).reshape(B, H, W, C_out)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+class DeformConv(nn.Module):
+    """flax module wrapper: learnable weight/bias, external offsets/masks."""
+
+    features: int
+    groups: int = 8
+    kernel: int = 3
+
+    @nn.compact
+    def __call__(self, x, offsets, masks=None):
+        C = x.shape[-1]
+        K = self.kernel
+        weight = self.param(
+            "weight",
+            nn.initializers.lecun_normal(),
+            (K, K, C // self.groups, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return deform_conv2d(
+            x, offsets, masks, weight, bias, self.groups, self.kernel
+        )

@@ -1,0 +1,40 @@
+"""Device-mesh utilities: data parallelism over ICI.
+
+The reference has no multi-device parallelism (SURVEY.md 2.5 — single CUDA
+device, host DataLoader workers). The TPU-native replacement is sharded
+jit over a 1-D ``data`` mesh: the batch axis is sharded across chips,
+parameters are replicated, and XLA inserts the gradient all-reduce (psum)
+over ICI from the sharding annotations alone — no explicit collectives in
+model code.
+
+The mesh is 1-D ``("data",)`` by default; codecs here are 10-40M-parameter
+CNNs, so model parallelism is unnecessary (the batch axis is the only
+profitable one). A second ``space`` axis for spatial sharding of 1080p
+frames (halo-exchange CP analog, SURVEY.md 2.5.3) can be added to the same
+helpers when needed.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def shard_batch(mesh: Mesh, tree, axis: str = "data"):
+    """Place a pytree of arrays with the leading dim sharded over the mesh."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate a pytree (params, opt state) across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
