@@ -1,0 +1,314 @@
+"""Conditional gained ELIC bottlenecks (Offset_ELIC / Res_ELIC).
+
+TPU-native rebuild of /root/reference/ICIP2024/src/model/
+compression_bottlenecks.py:72-551 (E4; the ICIP2023 offset_res_elic.py
+versions share the structure with noise-quantized training):
+
+  - multi-scale conditional analysis: g_a1..3 fold the /2,/4,/8 conditioning
+    pyramids into a latent at /16 of the frame;
+  - 4 gain vectors (Gain/InverseGain/HyperGain/InverseHyperGain) with
+    fractional-level geometric interpolation (``interpolate_gain``,
+    compression_bottlenecks.py:290-310) — implemented as one traced formula
+    (upper==lower degenerates to the pure level) so the rate level s can be
+    a traced scalar: one compiled graph serves all levels;
+  - hyper prior fused with a temporal condition (``prior_fusion``);
+  - ELIC-style checkerboard + channel context over uneven groups
+    (6, 6, 12, 24, M-48); context inputs are STE-rounded, likelihoods use
+    the caller's quantization mode (noise in v3 training, STE in v4);
+  - interleaved synthesis: g_s3 -> [cond3] -> g_o3 (head at /8),
+    g_s2 -> [cond2] -> g_o2 (/4), g_s1 -> [cond1] -> g_o1 (/2), emitting
+    per-scale offsets (Offset_ELIC) or feature residues (Res_ELIC).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from tpuvc.entropy.bottleneck import FactorizedBottleneck
+from tpuvc.entropy.gaussian import GaussianConditional
+from tpuvc.entropy.quant import quantize, ste_round
+from tpuvc.models.layers import Conv, Deconv, ResidualBottleneckBlock
+from tpuvc.ops.checkerboard import CheckerboardConv, keep_anchor, keep_non_anchor
+
+
+class _ConvRBB(nn.Module):
+    features: int
+    kernel: int = 5
+    stride: int = 2
+    blocks: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        x = Conv(self.features, kernel=self.kernel, stride=self.stride)(x)
+        for _ in range(self.blocks):
+            x = ResidualBottleneckBlock(self.features)(x)
+        return x
+
+
+class _SynthStage(nn.Module):
+    """conv1x1 -> 3 RBB -> deconv x2 (g_s2/g_s1 stages)."""
+
+    features: int
+    first_kernel: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        x = Conv(self.features, kernel=self.first_kernel, stride=1)(x)
+        for _ in range(3):
+            x = ResidualBottleneckBlock(self.features)(x)
+        return Deconv(self.features, kernel=5, stride=2)(x)
+
+
+class _Head(nn.Module):
+    """conv3x3 -> 3 RBB -> conv3x3 to head channels (g_o stages)."""
+
+    features: int
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = Conv(self.features, kernel=3, stride=1)(x)
+        for _ in range(3):
+            x = ResidualBottleneckBlock(self.features)(x)
+        return Conv(self.out_channels, kernel=3, stride=1)(x)
+
+
+class _EntropyParams(nn.Module):
+    M: int
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = Conv(self.M * 10 // 3, kernel=1)(x)
+        x = nn.leaky_relu(x)
+        x = Conv(self.M * 8 // 3, kernel=1)(x)
+        x = nn.leaky_relu(x)
+        return Conv(self.out_channels, kernel=1)(x)
+
+
+class _ChannelContext(nn.Module):
+    N: int
+    M: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = Conv(self.N, kernel=5, stride=1)(x)
+        x = nn.relu(x)
+        x = Conv(self.N, kernel=5, stride=1)(x)
+        x = nn.relu(x)
+        return Conv(self.M * 2, kernel=5, stride=1)(x)
+
+
+class CondELIC(nn.Module):
+    """Shared implementation; ``head_channels`` selects Offset vs Res flavor.
+
+    head_channels: outputs of (g_o1, g_o2, g_o3) — per-scale heads at
+    /2, /4, /8. Offset_ELIC: (432, 432, 432); Res_ELIC: (64, 96, 128).
+    """
+
+    head_channels: tuple[int, int, int]
+    N: int = 128
+    M: int = 128
+    levels: int = 5
+    groups: tuple[int, ...] = (6, 6, 12, 24, 80)
+
+    def setup(self):
+        N, M = self.N, self.M
+        assert sum(self.groups) == M
+        self.g_a1 = _ConvRBB(N)
+        self.g_a2 = _ConvRBB(N)
+        self.g_a3 = _ConvRBB(M)
+
+        self.g_s3_blocks = [ResidualBottleneckBlock(M) for _ in range(3)]
+        self.g_s3_up = Deconv(N, kernel=5, stride=2)
+        self.g_o3 = _Head(N, self.head_channels[2])
+        self.g_s2 = _SynthStage(N)
+        self.g_o2 = _Head(N, self.head_channels[1])
+        self.g_s1 = _SynthStage(N)
+        self.g_o1 = _Head(N, self.head_channels[0])
+
+        self.h_a1 = Conv(N, kernel=3, stride=1)
+        self.h_a2 = Conv(N, kernel=5, stride=2)
+        self.h_a3 = Conv(N, kernel=5, stride=2)
+        self.h_s1 = Deconv(M, kernel=5, stride=2)
+        self.h_s2 = Deconv(M, kernel=5, stride=2)
+        self.h_s3 = Conv(M, kernel=3, stride=1)
+        self.prior_fusion_in = Conv(2 * M, kernel=3, stride=1)
+        self.prior_fusion_blocks = [
+            ResidualBottleneckBlock(2 * M) for _ in range(3)
+        ]
+        self.prior_fusion_out = Conv(2 * M, kernel=3, stride=1)
+
+        self.entropy_parameters = [
+            _EntropyParams(M=M, out_channels=2 * g) for g in self.groups
+        ]
+        self.channel_context_models = [
+            _ChannelContext(N=N, M=M) for _ in self.groups[1:]
+        ]
+        self.context_prediction_models = [
+            CheckerboardConv(M * 2, kernel=5) for _ in self.groups
+        ]
+
+        ones = lambda rng, shape: jnp.ones(shape, jnp.float32)
+        self.Gain = self.param("Gain", ones, (self.levels, M))
+        self.InverseGain = self.param("InverseGain", ones, (self.levels, M))
+        self.HyperGain = self.param("HyperGain", ones, (self.levels, N))
+        self.InverseHyperGain = self.param(
+            "InverseHyperGain", ones, (self.levels, N)
+        )
+
+        self.entropy_bottleneck = FactorizedBottleneck(channels=N)
+        self.gaussian = GaussianConditional()
+
+    def interpolate_gain(self, s):
+        """Fractional-level geometric interpolation of all 4 gain vectors.
+
+        One formula handles integer and fractional s (upper == lower makes
+        the exponents collapse), so s can be traced.
+        """
+        s = jnp.clip(jnp.asarray(s, jnp.float32), 0.0, self.levels - 1.0)
+        upper = jnp.clip(jnp.ceil(s), 0, self.levels - 1).astype(jnp.int32)
+        lower = jnp.clip(jnp.floor(s), 0, self.levels - 1).astype(jnp.int32)
+        l = upper.astype(jnp.float32) - s
+
+        def interp(g):
+            return jnp.abs(g[upper]) ** (1.0 - l) * jnp.abs(g[lower]) ** l
+
+        return (
+            interp(self.Gain),
+            interp(self.HyperGain),
+            interp(self.InverseHyperGain),
+            interp(self.InverseGain),
+        )
+
+    def analysis(self, c1, c2, c3, s):
+        """Conditional analysis -> gained (y, z)."""
+        gain, hypergain, _, _ = self.interpolate_gain(s)
+        y = self.g_a1(c1)
+        y = self.g_a2(jnp.concatenate([y, c2], axis=-1))
+        y = self.g_a3(jnp.concatenate([y, c3], axis=-1))
+        y = y * gain
+        z = self.h_a3(nn.relu(self.h_a2(nn.relu(self.h_a1(y)))))
+        z = z * hypergain
+        return y, z
+
+    def hyper_params(self, z_hat, temporal_cond, s):
+        """h_s on inverse-gained z_hat, fused with the temporal condition."""
+        _, _, invhypergain, _ = self.interpolate_gain(s)
+        z_hat = z_hat * invhypergain
+        h = self.h_s3(nn.relu(self.h_s2(nn.relu(self.h_s1(z_hat)))))
+        x = self.prior_fusion_in(
+            jnp.concatenate([h, temporal_cond], axis=-1)
+        )
+        for blk in self.prior_fusion_blocks:
+            x = blk(x)
+        return self.prior_fusion_out(x)
+
+    def group_params(self, i: int, hyper_params, prev_groups_hat, y_anchor_hat):
+        ctx = keep_non_anchor(self.context_prediction_models[i](y_anchor_hat))
+        if i == 0:
+            inp = jnp.concatenate([ctx, hyper_params], axis=-1)
+        else:
+            channel_ctx = self.channel_context_models[i - 1](prev_groups_hat)
+            inp = jnp.concatenate([ctx, channel_ctx, hyper_params], axis=-1)
+        params = self.entropy_parameters[i](inp)
+        scales, means = jnp.split(params, 2, axis=-1)
+        return scales, means
+
+    def synthesis(self, y_hat, cond1, cond2, cond3, s):
+        """Interleaved synthesis -> per-scale head outputs (out1, out2, out3)."""
+        _, _, _, invgain = self.interpolate_gain(s)
+        y_hat = y_hat * invgain
+        x = y_hat
+        for blk in self.g_s3_blocks:
+            x = blk(x)
+        xhat3 = self.g_s3_up(x)
+        inp3 = jnp.concatenate([xhat3, cond3], axis=-1)
+        out3 = self.g_o3(inp3)
+        xhat2 = self.g_s2(inp3)
+        inp2 = jnp.concatenate([xhat2, cond2], axis=-1)
+        out2 = self.g_o2(inp2)
+        xhat1 = self.g_s1(inp2)
+        inp1 = jnp.concatenate([xhat1, cond1], axis=-1)
+        out1 = self.g_o1(inp1)
+        return out1, out2, out3
+
+    def __call__(
+        self,
+        inputs: tuple,
+        conds: tuple,
+        temporal_cond,
+        s,
+        mode: str = "ste",
+        rng=None,
+    ):
+        """Full pass.
+
+        inputs: (i1, i2, i3) analysis inputs per scale (include the current
+          frame's features). conds: (c1, c2, c3) decoder-side conditioning
+          (reference features only). mode: 'ste' (v4), 'noise' (v3 training),
+          'dequantize' (eval).
+        """
+        y, z = self.analysis(*inputs, s)
+        likelihoods = {}
+        lik_mode = "noise" if mode == "noise" else "dequantize"
+        _, z_lik = self.entropy_bottleneck(
+            z, lik_mode, rng=None if rng is None else jax.random.fold_in(rng, 0)
+        )
+        likelihoods["z"] = z_lik
+        z_hat = ste_round(z)
+        hyper = self.hyper_params(z_hat, temporal_cond, s)
+
+        groups = []
+        start = 0
+        for g in self.groups:
+            groups.append(y[..., start : start + g])
+            start += g
+
+        for i, curr_y in enumerate(groups):
+            y_half = keep_anchor(ste_round(curr_y))
+            prev = (
+                ste_round(jnp.concatenate(groups[:i], axis=-1))
+                if i > 0
+                else None
+            )
+            scales, means = self.group_params(i, hyper, prev, y_half)
+            r = None if rng is None else jax.random.fold_in(rng, i + 1)
+            _, y_lik = self.gaussian(
+                curr_y, scales, means=means, mode=lik_mode, rng=r
+            )
+            likelihoods[f"y_{i}"] = y_lik
+
+        y_hat = ste_round(y)
+        out1, out2, out3 = self.synthesis(y_hat, *conds, s)
+        return {
+            "out1": out1,
+            "out2": out2,
+            "out3": out3,
+            "likelihoods": likelihoods,
+        }
+
+    def aux_loss(self):
+        return self.entropy_bottleneck.aux_loss()
+
+
+def OffsetELIC(N: int = 128, M: int = 128, levels: int = 5, **kw) -> CondELIC:
+    """Offset bottleneck: heads emit 27*8*2 = 432 deform params per scale."""
+    return CondELIC(
+        head_channels=(432, 432, 432), N=N, M=M, levels=levels, **kw
+    )
+
+
+def ResELIC(
+    N: int = 128,
+    M: int = 128,
+    levels: int = 5,
+    feature_channels: tuple[int, int, int] = (64, 96, 128),
+    **kw,
+) -> CondELIC:
+    """Residual bottleneck: heads emit feature residues per scale."""
+    return CondELIC(
+        head_channels=feature_channels, N=N, M=M, levels=levels, **kw
+    )

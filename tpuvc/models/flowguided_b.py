@@ -1,0 +1,247 @@
+"""FlowGuidedB — the v4 (ICIP2024) flagship B-frame codec.
+
+TPU-native rebuild of /root/reference/ICIP2024/src/model/m.py:31-283 (M21):
+  1. FlowNET estimates a bidirectional flow pair between the references at an
+     adaptive ``down_ratio`` (motion-adaptive inference, O5).
+  2. Flows are scaled by temporal-distance ratios (``get_scales``/
+     ``convert_scales``) to point from the current frame to each reference.
+  3. A 3-scale feature pyramid of both references is warped by the flow
+     pyramid (flow halved per scale).
+  4. Offset_ELIC codes deformable alignment offsets conditioned on
+     [warped refs | raw refs | current] features; OffsetDiversity fuses both
+     references per scale.
+  5. Res_ELIC codes feature-space residues; the Reconstructor decodes RGB.
+
+TPU notes: everything is static-shaped per (resolution, down_ratio) pair.
+``down_ratio`` changes pooled shapes, so each ratio is its own compiled
+graph (the reference pays the same in kernel shapes); the adaptive search
+batches the candidate warp evaluations instead of looping (gop/adaptive.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from tpuvc.entropy.emath import likelihood_to_bits
+from tpuvc.models.cond_elic import OffsetELIC, ResELIC
+from tpuvc.models.ms_feature import (
+    FlowNET,
+    MSFeature,
+    Reconstructor,
+    TemporalEnc,
+)
+from tpuvc.models.offset_diversity import OffsetDiversity
+from tpuvc.ops.pad import pad_to_multiple, unpad
+from tpuvc.ops.resample import avg_pool2d, bilinear_resize
+from tpuvc.ops.warp import warp
+
+
+def convert_scales(scale1, scale2):
+    """Round temporal scales to 2 decimals (m.py:71-82)."""
+    scale1 = jnp.round(jnp.asarray(scale1, jnp.float32) * 100.0) / 100.0
+    scale2 = jnp.round(jnp.asarray(scale2, jnp.float32) * 100.0) / 100.0
+    return scale1, scale2
+
+
+def get_scales(order, order1, order2):
+    """Temporal-distance flow scaling factors (ICIP2024/src/utils.py:223-243).
+
+    flow is estimated ref1->ref2; the current frame at ``order`` needs
+    flow_cur->ref1 = flow21 * (order-order1)/(order2-order1) and symmetric.
+    """
+    if order2 == order1:
+        return 0.0, 0.0
+    return (
+        (order - order1) / (order2 - order1),
+        (order - order2) / (order1 - order2),
+    )
+
+
+class FlowGuidedB(nn.Module):
+    feature_channels: tuple[int, int, int] = (64, 96, 128)
+    N: int = 128
+    M: int = 128
+    levels: int = 5
+    groups: tuple[int, ...] = (6, 6, 12, 24, 80)
+
+    def setup(self):
+        fc = self.feature_channels
+        self.feature_extractor = MSFeature(channels=fc)
+        self.flow_estimator = FlowNET()
+        self.offset_temporal_conditioner = TemporalEnc(N=self.N, M=self.M)
+        self.offset_compressor = OffsetELIC(
+            N=self.N, M=self.M, levels=self.levels, groups=self.groups
+        )
+        self.offset_diversity_l3 = OffsetDiversity(
+            features=fc[2], magnitude=10.0
+        )
+        self.offset_diversity_l2 = OffsetDiversity(
+            features=fc[1], magnitude=20.0
+        )
+        self.offset_diversity_l1 = OffsetDiversity(
+            features=fc[0], magnitude=40.0
+        )
+        self.residue_temporal_conditioner = TemporalEnc(N=self.N, M=self.M)
+        self.residual_compressor = ResELIC(
+            N=self.N, M=self.M, levels=self.levels, feature_channels=fc,
+            groups=self.groups,
+        )
+        self.reconstructor = Reconstructor(channels=fc)
+
+    def estimate_flow(self, xref1, xref2, down_ratio: int):
+        """FlowNET at adaptive resolution -> 4ch flow pair at /2 of full res.
+
+        Parity: m.py:84-102 — refs pooled by down_ratio*2, zero-padded to
+        x16, flow cropped back and upscaled by down_ratio with magnitude
+        scaling.
+        """
+        d1 = avg_pool2d(xref1, down_ratio * 2)
+        d2 = avg_pool2d(xref2, down_ratio * 2)
+        h, w = d1.shape[-3], d1.shape[-2]
+        d1, _ = pad_to_multiple(d1, 16, mode="constant")
+        d2, _ = pad_to_multiple(d2, 16, mode="constant")
+        flow = self.flow_estimator(jnp.concatenate([d1, d2], axis=-1))
+        flow = unpad(flow, (h, w))
+        if down_ratio > 1:
+            flow = (
+                bilinear_resize(flow, h * down_ratio, w * down_ratio)
+                * down_ratio
+            )
+        return flow
+
+    def warped_refs_at_layer(self, fref1, fref2, flow, scale1, scale2):
+        """Scale + warp one pyramid level; return halved flow for the next.
+
+        Parity: m.py:104-117.
+        """
+        flow_21, flow_12 = jnp.split(flow, 2, axis=-1)
+        flow_cur1 = flow_21 * scale1
+        flow_cur2 = flow_12 * scale2
+        wref1 = warp(fref1, flow_cur1)
+        wref2 = warp(fref2, flow_cur2)
+        h, w = flow.shape[-3] // 2, flow.shape[-2] // 2
+        down_flow = bilinear_resize(flow, h, w) * 0.5
+        return flow_cur1, flow_cur2, wref1, wref2, down_flow
+
+    def __call__(
+        self,
+        xref1,
+        xref2,
+        xcur,
+        s,
+        scale1=0.5,
+        scale2=-0.5,
+        down_ratio: int = 1,
+        mode: str = "ste",
+        rng=None,
+    ):
+        B, H, W, _ = xcur.shape
+        num_pixels = B * H * W
+        scale1, scale2 = convert_scales(scale1, scale2)
+        rngs = jax.random.split(rng, 2) if rng is not None else (None, None)
+
+        flow_l1 = self.estimate_flow(xref1, xref2, down_ratio)
+        fref1 = self.feature_extractor(xref1)
+        fref2 = self.feature_extractor(xref2)
+        fcur = self.feature_extractor(xcur)
+
+        f1_cur1, f1_cur2, wref1_l1, wref2_l1, flow_l2 = (
+            self.warped_refs_at_layer(fref1[0], fref2[0], flow_l1, scale1, scale2)
+        )
+        f2_cur1, f2_cur2, wref1_l2, wref2_l2, flow_l3 = (
+            self.warped_refs_at_layer(fref1[1], fref2[1], flow_l2, scale1, scale2)
+        )
+        f3_cur1, f3_cur2, wref1_l3, wref2_l3, _ = (
+            self.warped_refs_at_layer(fref1[2], fref2[2], flow_l3, scale1, scale2)
+        )
+
+        # Conditioning pyramids: cond = [warped refs | raw refs] per scale,
+        # input adds the current frame's features (m.py:119-142).
+        cond = tuple(
+            jnp.concatenate([w1, w2, r1, r2], axis=-1)
+            for w1, w2, r1, r2 in (
+                (wref1_l1, wref2_l1, fref1[0], fref2[0]),
+                (wref1_l2, wref2_l2, fref1[1], fref2[1]),
+                (wref1_l3, wref2_l3, fref1[2], fref2[2]),
+            )
+        )
+        inputs = tuple(
+            jnp.concatenate([c, f], axis=-1) for c, f in zip(cond, fcur)
+        )
+        offset_temp = self.offset_temporal_conditioner(*cond)
+        offset_result = self.offset_compressor(
+            inputs, cond, offset_temp, s, mode=mode, rng=rngs[0]
+        )
+
+        def fuse(off_div, head, f1, f2, fl1, fl2):
+            o1, o2 = jnp.split(head, 2, axis=-1)
+            return off_div(f1, o1, fl1, f2, o2, fl2)
+
+        x_comp_l3 = fuse(
+            self.offset_diversity_l3, offset_result["out3"],
+            fref1[2], fref2[2], f3_cur1, f3_cur2,
+        )
+        x_comp_l2 = fuse(
+            self.offset_diversity_l2, offset_result["out2"],
+            fref1[1], fref2[1], f2_cur1, f2_cur2,
+        )
+        x_comp_l1 = fuse(
+            self.offset_diversity_l1, offset_result["out1"],
+            fref1[0], fref2[0], f1_cur1, f1_cur2,
+        )
+
+        res_temp = self.residue_temporal_conditioner(
+            x_comp_l1, x_comp_l2, x_comp_l3
+        )
+        res_inputs = tuple(
+            jnp.concatenate([f, xc], axis=-1)
+            for f, xc in zip(fcur, (x_comp_l1, x_comp_l2, x_comp_l3))
+        )
+        res_result = self.residual_compressor(
+            res_inputs,
+            (x_comp_l1, x_comp_l2, x_comp_l3),
+            res_temp,
+            s,
+            mode=mode,
+            rng=rngs[1],
+        )
+
+        x_comp_l1 = x_comp_l1 + res_result["out1"]
+        x_comp_l2 = x_comp_l2 + res_result["out2"]
+        x_comp_l3 = x_comp_l3 + res_result["out3"]
+        x_hat = self.reconstructor(x_comp_l1, x_comp_l2, x_comp_l3)
+
+        bits = sum(
+            likelihood_to_bits(l)
+            for l in offset_result["likelihoods"].values()
+        ) + sum(
+            likelihood_to_bits(l) for l in res_result["likelihoods"].values()
+        )
+        return {
+            "x_hat": x_hat,
+            "size": bits,
+            "rate": bits / num_pixels,
+        }
+
+    def prediction_flowonly(
+        self, xref1, xref2, scale1, scale2, down_ratio: int = 1
+    ):
+        """Cheap flow-only prediction used by the down-ratio search
+        (ICIP2024/src/opt_helpers.py:23-38): full-res warp of both refs by
+        the scaled upsampled flow, averaged."""
+        scale1, scale2 = convert_scales(scale1, scale2)
+        flow = self.estimate_flow(xref1, xref2, down_ratio)
+        H, W = xref1.shape[-3], xref1.shape[-2]
+        flow = bilinear_resize(flow, H, W) * 2.0
+        flow_21, flow_12 = jnp.split(flow, 2, axis=-1)
+        wref1 = warp(xref1, flow_21 * scale1)
+        wref2 = warp(xref2, flow_12 * scale2)
+        return 0.5 * wref1 + 0.5 * wref2
+
+    def aux_loss(self):
+        return (
+            self.offset_compressor.aux_loss()
+            + self.residual_compressor.aux_loss()
+        )

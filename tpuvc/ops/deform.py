@@ -86,6 +86,7 @@ def deform_conv2d(
     Cg = C // G
     C_out = weight.shape[-1]
     Og = C_out // G
+    assert C % G == 0 and C_out % G == 0, (C, C_out, G)
     assert offsets.shape[-1] == G * K * K * 2, offsets.shape
 
     # Group-major reshape: (B, H, W, G, ...) -> fold G into batch.
