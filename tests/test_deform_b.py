@@ -1,0 +1,61 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpuvc.models.deform_b import DeformB
+
+
+@pytest.fixture(scope="module")
+def deformb():
+    model = DeformB(
+        feature_channels=(8, 16, 24), N=32, M=32, levels=3,
+        groups=(4, 4, 8, 16),
+    )
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.key(0), x, x, x, 1, "dequantize")
+    return model, variables
+
+
+def _frames(rng, shape=(1, 64, 64, 3)):
+    base = rng.random(shape, dtype=np.float32)
+    drift = 0.04 * rng.standard_normal(shape).astype(np.float32)
+    return (
+        jnp.asarray(base),
+        jnp.clip(jnp.asarray(base + 0.5 * drift), 0, 1),
+        jnp.clip(jnp.asarray(base + drift), 0, 1),
+    )
+
+
+class TestDeformB:
+    def test_forward(self, deformb, rng):
+        model, variables = deformb
+        x1, xc, x2 = _frames(rng)
+        out = model.apply(variables, x1, x2, xc, 1, "dequantize")
+        assert out["x_hat"].shape == xc.shape
+        assert np.isfinite(float(out["size"])) and float(out["size"]) > 0
+
+    def test_noise_training_mode(self, deformb, rng):
+        model, variables = deformb
+        x1, xc, x2 = _frames(rng)
+        out = model.apply(
+            variables, x1, x2, xc, 0, "noise", rng=jax.random.key(3)
+        )
+        assert np.isfinite(float(out["rate"]))
+
+    def test_grads(self, deformb, rng):
+        model, variables = deformb
+        x1, xc, x2 = _frames(rng)
+
+        def loss(p):
+            out = model.apply(
+                {"params": p}, x1, x2, xc, 1, "noise", rng=jax.random.key(4)
+            )
+            return (
+                0.01 * 255**2 * jnp.mean((out["x_hat"] - xc) ** 2)
+                + out["rate"]
+            )
+
+        g = jax.grad(loss)(variables["params"])
+        total = sum(float(jnp.abs(l).sum()) for l in jax.tree.leaves(g))
+        assert np.isfinite(total) and total > 0

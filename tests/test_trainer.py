@@ -1,0 +1,127 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpuvc.data.vimeo import SyntheticSeptuplets, make_batch_iterator
+from tpuvc.train.trainer import (
+    BDCheckpointer,
+    init_state,
+    make_lhbdc_step,
+    make_optimizer,
+    make_recursive_step,
+)
+
+
+class TestOptimizer:
+    def test_quantile_params_get_aux_lr(self):
+        tx = make_optimizer(lr=1e-4, aux_lr=1e-3, lr_drop_step=None)
+        params = {
+            "conv": {"kernel": jnp.ones((3, 3))},
+            "eb": {"quantiles": jnp.ones((4, 1, 3))},
+        }
+        state = tx.init(params)
+        grads = jax.tree.map(jnp.ones_like, params)
+        updates, _ = tx.update(grads, state, params)
+        # Adam step magnitude ~ lr for constant grads.
+        up_main = float(jnp.abs(updates["conv"]["kernel"]).mean())
+        up_aux = float(jnp.abs(updates["eb"]["quantiles"]).mean())
+        assert up_aux > 5 * up_main
+
+
+class TestDataPipeline:
+    def test_batch_shapes(self):
+        ds = SyntheticSeptuplets(n=4, size=80)
+        it = make_batch_iterator(ds, batch_size=2, crop=64, n_frames=3)
+        batch = next(it)
+        assert batch.shape == (2, 3, 64, 64, 3)
+        assert batch.dtype == np.float32
+        assert 0.0 <= batch.min() and batch.max() <= 1.0
+
+    def test_five_frame_windows(self):
+        ds = SyntheticSeptuplets(n=4, size=80)
+        it = make_batch_iterator(ds, batch_size=1, crop=64, n_frames=5)
+        assert next(it).shape == (1, 5, 64, 64, 3)
+
+
+class TestLHBDCTrainer:
+    def test_two_steps_update_params(self, rng):
+        from tpuvc.models.lhbdc import LHBDC
+
+        model = LHBDC(N=16)
+        x = jnp.zeros((1, 192, 192, 3), jnp.float32)
+        variables = model.init(jax.random.key(0), x, x, x, "dequantize")
+        tx = make_optimizer(lr_drop_step=None)
+        state = init_state(variables["params"], tx)
+        step = make_lhbdc_step(model, tx, alpha=1626.0)
+
+        ds = SyntheticSeptuplets(n=4, size=224)
+        it = make_batch_iterator(ds, batch_size=1, crop=192, n_frames=3)
+        p0 = jax.tree.leaves(state.params)[0].copy()
+        params, opt, metrics = step(
+            state.params, state.opt_state, jnp.asarray(next(it)),
+            jax.random.key(1),
+        )
+        assert np.isfinite(float(metrics["loss"]))
+        params, opt, metrics2 = step(
+            params, opt, jnp.asarray(next(it)), jax.random.key(2)
+        )
+        assert float(jnp.abs(jax.tree.leaves(params)[0] - p0).sum()) > 0
+
+
+class TestRecursiveTrainer:
+    def test_stage1_and_stage2(self, rng):
+        from tpuvc.models.flowguided_b import FlowGuidedB
+
+        model = FlowGuidedB(
+            feature_channels=(16, 32, 48), N=32, M=32, levels=3,
+            groups=(4, 4, 8, 16),
+        )
+        x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        variables = model.init(
+            jax.random.key(0), x, x, x, 1, 0.5, -0.5, 1, "dequantize"
+        )
+        tx = make_optimizer(lr_drop_step=None)
+        state = init_state(variables["params"], tx)
+
+        from tpuvc.models.flowguided_b import get_scales
+
+        def code_fn(params, r1, r2, xc, rng_, order, o1, o2, level, dr):
+            s1, s2 = get_scales(order, o1, o2)
+            out = model.apply(
+                {"params": params}, r1, r2, xc, level, s1, s2, dr, "ste",
+                rng=rng_,
+            )
+            return out["x_hat"], out["rate"]
+
+        def aux_fn(params):
+            return model.apply(
+                {"params": params}, method=FlowGuidedB.aux_loss
+            )
+
+        step = make_recursive_step(code_fn, aux_fn, tx, beta=0.04)
+        ds = SyntheticSeptuplets(n=4, size=80)
+        it = make_batch_iterator(ds, batch_size=1, crop=64, n_frames=5)
+        params, opt, m1 = step(
+            state.params, state.opt_state, jnp.asarray(next(it)),
+            jax.random.key(1), False, 1, 1,
+        )
+        assert np.isfinite(float(m1["loss"]))
+        params, opt, m2 = step(
+            params, opt, jnp.asarray(next(it)), jax.random.key(2), True, 2, 1
+        )
+        assert np.isfinite(float(m2["loss"]))
+
+
+class TestBDCheckpointer:
+    def test_saves_on_improvement(self):
+        saved = []
+        ck = BDCheckpointer(
+            [0.05, 0.1, 0.2], [35.0, 37.0, 39.0], save_fn=saved.append
+        )
+        assert ck.update([0.05, 0.1, 0.2], [35.5, 37.5, 39.5], "a")
+        assert saved == ["a"]
+        #
+
+        assert not ck.update([0.05, 0.1, 0.2], [35.0, 37.0, 39.0], "b")
+        assert saved == ["a"]

@@ -1,0 +1,127 @@
+"""Unified config schema: one dataclass tree, YAML-loadable, CLI-overridable.
+
+Replaces the reference's three config generations (SURVEY.md C1/C2):
+argparse (LHBDC/test/testing.py:35-59), module constants
+(ICIP2024/src/train/config.py), and hydra/omegaconf groups
+(ICIP2023/configs/test.yaml + configs/dataset/UVG.yaml). Every knob those
+surfaces expose exists here; ``apply_overrides`` implements hydra-style
+dotted ``key.sub=value`` assignments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+
+
+#: UVG dataset group (ICIP2023/configs/dataset/UVG.yaml:5-19).
+UVG_SEQUENCES = {
+    "beauty": 600,
+    "bosphorus": 600,
+    "honeybee": 600,
+    "jockey": 600,
+    "readysetgo": 600,
+    "shakendry": 300,
+    "yachtride": 600,
+}
+
+
+@dataclass
+class DatasetConfig:
+    name: str = "UVG"
+    root: str = "/data/UVG"
+    sequences: dict = field(default_factory=lambda: dict(UVG_SEQUENCES))
+    gop: int = 16
+    width: int = 1920
+    height: int = 1080
+
+
+@dataclass
+class ModelConfig:
+    family: str = "flowguided_b"  # lhbdc | flexrate | deform_b | flowguided_b
+    N: int = 128
+    M: int = 128
+    levels: int = 5
+    feature_channels: tuple = (64, 96, 128)
+
+
+@dataclass
+class TestConfig:
+    dataset: DatasetConfig = field(default_factory=DatasetConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    levels: tuple = (0, 1, 2, 3, 4)
+    #: beta (distortion weight) per level (ICIP2024/src/train/config.py:42).
+    betas_mse: tuple = (0.0056, 0.0107, 0.0207, 0.0400, 0.0772)
+    intra_weights: str = "weights/intra"
+    inter_weights: str = "weights/inter"
+    results_csv: str = "results.csv"
+    seed: int = 0
+    adaptive_down_ratio: bool = True
+    device_count: int = 1
+    output_dir: str = "outputs"
+
+
+@dataclass
+class TrainConfig:
+    dataset_root: str = "/data/vimeo_septuplet"
+    model: ModelConfig = field(default_factory=ModelConfig)
+    batch_size: int = 8
+    crop: int = 256
+    lr: float = 1e-4
+    aux_lr: float = 1e-3
+    lr_drop_step: int = 500_000
+    total_steps: int = 750_000
+    stage2_start: int = 350_000
+    grad_clip: float = 1.0
+    val_every: int = 10_000
+    seed: int = 0
+    checkpoint_dir: str = "checkpoints"
+
+
+def apply_overrides(cfg, overrides: list[str]):
+    """Apply ``a.b=c`` style overrides in place (hydra-like)."""
+    for ov in overrides:
+        key, _, raw = ov.partition("=")
+        assert _ == "=", f"bad override: {ov}"
+        obj = cfg
+        parts = key.split(".")
+        for p in parts[:-1]:
+            obj = getattr(obj, p)
+        current = getattr(obj, parts[-1])
+        value = _parse(raw, current)
+        setattr(obj, parts[-1], value)
+    return cfg
+
+
+def _parse(raw: str, current):
+    import ast
+
+    if isinstance(current, str):
+        return raw
+    try:
+        return ast.literal_eval(raw)
+    except (ValueError, SyntaxError):
+        return raw
+
+
+def load_yaml(path: str, cls=TestConfig):
+    import yaml
+
+    with open(path) as f:
+        data = yaml.safe_load(f) or {}
+    return _from_dict(cls, data)
+
+
+def _from_dict(cls, data: dict):
+    kwargs = {}
+    for f_ in dataclasses.fields(cls):
+        if f_.name not in data:
+            continue
+        v = data[f_.name]
+        if dataclasses.is_dataclass(f_.type) and isinstance(v, dict):
+            v = _from_dict(f_.type, v)
+        elif f_.name in ("dataset", "model") and isinstance(v, dict):
+            sub = {"dataset": DatasetConfig, "model": ModelConfig}[f_.name]
+            v = _from_dict(sub, v)
+        kwargs[f_.name] = v
+    return cls(**kwargs)

@@ -1,0 +1,107 @@
+"""Vimeo-90k septuplet training data pipeline.
+
+Parity targets in /root/reference:
+  - LHBDC/test/utils.py:108-160 (VimeoTrainDataset: random triplet from each
+    septuplet, random 256 crop).
+  - ICIP2024/src/train/utils.py:176-279 (tensor-native loader with 5-frame
+    windows for the recursive stage, random crop + flips).
+
+Host-side pipeline: numpy arrays, a worker-free prefetch iterator (the TPU
+step is the bottleneck at batch 8 x 256^2; PNG decode keeps up), and a
+synthetic-data fallback so trainers are testable without the dataset.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from tpuvc.data.frames import load_png, to_float
+
+
+class VimeoSeptuplets:
+    """Iterates septuplet directories: root/sequences/<a>/<b>/im{1..7}.png."""
+
+    def __init__(self, root: str, list_file: str = "sep_trainlist.txt"):
+        self.root = root
+        path = os.path.join(root, list_file)
+        with open(path) as f:
+            self.items = [l.strip() for l in f if l.strip()]
+
+    def __len__(self):
+        return len(self.items)
+
+    def load(self, idx: int, frame_ids) -> list[np.ndarray]:
+        seq = os.path.join(self.root, "sequences", self.items[idx])
+        return [
+            to_float(load_png(os.path.join(seq, f"im{i}.png")))
+            for i in frame_ids
+        ]
+
+
+class SyntheticSeptuplets:
+    """Fallback: drifting random textures with septuplet structure."""
+
+    def __init__(self, n: int = 64, size: int = 288, seed: int = 0):
+        self.n = n
+        self.size = size
+        self.seed = seed
+
+    def __len__(self):
+        return self.n
+
+    def load(self, idx: int, frame_ids) -> list[np.ndarray]:
+        rng = np.random.default_rng(self.seed * 100003 + idx)
+        base = rng.random((self.size, self.size, 3), dtype=np.float32)
+        drift = 0.02 * rng.standard_normal((self.size, self.size, 3)).astype(
+            np.float32
+        )
+        return [
+            np.clip(base + (i - 1) * drift, 0.0, 1.0) for i in frame_ids
+        ]
+
+
+def make_batch_iterator(
+    dataset,
+    batch_size: int,
+    crop: int,
+    n_frames: int = 3,
+    seed: int = 0,
+    flip: bool = True,
+):
+    """Infinite iterator of (B, n_frames, crop, crop, 3) float32 batches.
+
+    Frame windows follow the reference: a random contiguous window of
+    ``n_frames`` odd-strided frames from each septuplet, random spatial
+    crop, random horizontal/vertical flip, random temporal reversal.
+    """
+    rng = np.random.default_rng(seed)
+
+    def sample_one():
+        idx = int(rng.integers(len(dataset)))
+        # window: for 3 frames pick stride in {1, 2, 3}; for 5 frames
+        # contiguous (1..5, 2..6, 3..7).
+        if n_frames == 3:
+            stride = int(rng.integers(1, 4))
+            start = int(rng.integers(1, 8 - 2 * stride))
+            ids = [start, start + stride, start + 2 * stride]
+        else:
+            start = int(rng.integers(1, 9 - n_frames))
+            ids = list(range(start, start + n_frames))
+        if flip and rng.random() < 0.5:
+            ids = ids[::-1]
+        frames = dataset.load(idx, ids)
+        h, w, _ = frames[0].shape
+        y0 = int(rng.integers(0, max(h - crop, 0) + 1))
+        x0 = int(rng.integers(0, max(w - crop, 0) + 1))
+        frames = [f[y0 : y0 + crop, x0 : x0 + crop] for f in frames]
+        if flip:
+            if rng.random() < 0.5:
+                frames = [f[:, ::-1] for f in frames]
+            if rng.random() < 0.5:
+                frames = [f[::-1] for f in frames]
+        return np.stack(frames)
+
+    while True:
+        yield np.stack([sample_one() for _ in range(batch_size)])

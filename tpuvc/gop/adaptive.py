@@ -1,0 +1,103 @@
+"""Content-adaptive inference: motion-adaptive downsampling searches (O5).
+
+Parity targets in /root/reference:
+  - v4 integer-ratio search: ICIP2024/src/opt_helpers.py:41-51
+    (``get_best_down_ratio_prediction``: ratios {1,2,4,8,16}, warp-PSNR
+    argmax over the flow-only prediction) and 53-75 (RD-based variant).
+  - OJSP fractional-ratio search with hysteresis:
+    OJSP2025/video_model.py:621-666 — 32 ratios 1..8.75 step 0.25, warp-PSNR
+    argmax, and a 0.1 dB bias toward the previous frame's ratio (keep the
+    old ratio unless the new best beats it by > bias).
+
+TPU design: each candidate evaluation is a jitted device computation that
+returns a scalar PSNR (no frame transfer); candidate shapes differ so each
+ratio compiles once and is cached across all frames of a sequence. The
+fractional search shares one flow graph per *padded* downsampled shape.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+V4_RATIOS = (1, 2, 4, 8, 16)
+OJSP_RATIOS = tuple(np.arange(1.0, 9.0, 0.25))
+OJSP_BIAS = 0.1
+
+
+def psnr_of(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    mse = jnp.mean((jnp.clip(pred, 0.0, 1.0) - target) ** 2)
+    return 10.0 * jnp.log10(1.0 / mse)
+
+
+def best_down_ratio_prediction(
+    predict: Callable[[int], jnp.ndarray],
+    xcur: jnp.ndarray,
+    ratios: Sequence[int] = V4_RATIOS,
+):
+    """v4 search: argmax warp-PSNR of the flow-only prediction.
+
+    ``predict(ratio)`` returns the flow-only compensated frame.
+    Returns (best_ratio, best_psnr).
+    """
+    best_ratio, best_psnr = ratios[0], -float("inf")
+    for ratio in ratios:
+        p = float(psnr_of(predict(ratio), xcur))
+        if p > best_psnr:
+            best_psnr, best_ratio = p, ratio
+    return best_ratio, best_psnr
+
+
+def best_down_ratio_rd(
+    evaluate: Callable[[int], tuple[jnp.ndarray, jnp.ndarray]],
+    xcur: jnp.ndarray,
+    beta: float,
+    ratios: Sequence[int] = V4_RATIOS,
+):
+    """v4 RD variant: argmin beta*MSE + rate over full codec passes.
+
+    ``evaluate(ratio)`` returns (x_hat, rate). Returns (best_ratio, loss).
+    """
+    best_ratio, best_loss = ratios[0], float("inf")
+    for ratio in ratios:
+        x_hat, rate = evaluate(ratio)
+        loss = float(beta * jnp.mean((x_hat - xcur) ** 2) + jnp.mean(rate))
+        if loss < best_loss:
+            best_loss, best_ratio = loss, ratio
+    return best_ratio, best_loss
+
+
+def fractional_ratio_search(
+    predict: Callable[[float], jnp.ndarray],
+    xcur: jnp.ndarray,
+    prev_ratio: float | None,
+    ratios: Sequence[float] = OJSP_RATIOS,
+    bias: float = OJSP_BIAS,
+):
+    """OJSP search with hysteresis.
+
+    ``predict(ratio)`` returns the motion-compensated frame at that ratio.
+    If the best candidate beats the previous frame's ratio by less than
+    ``bias`` dB, the previous ratio is kept (temporal stability of the MV
+    statistics; video_model.py:656-663).
+
+    Returns (chosen_ratio, chosen_psnr, best_psnr).
+    """
+    best_ratio, best_psnr = None, -float("inf")
+    prev_psnr = None
+    for ratio in ratios:
+        p = float(psnr_of(predict(ratio), xcur))
+        if prev_ratio is not None and ratio == prev_ratio:
+            prev_psnr = p
+        if p > best_psnr:
+            best_psnr, best_ratio = p, ratio
+    if (
+        prev_ratio is not None
+        and prev_psnr is not None
+        and (best_psnr - prev_psnr) < bias
+        and prev_ratio != best_ratio
+    ):
+        return prev_ratio, prev_psnr, best_psnr
+    return best_ratio, best_psnr, best_psnr

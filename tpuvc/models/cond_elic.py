@@ -113,10 +113,19 @@ class CondELIC(nn.Module):
     M: int = 128
     levels: int = 5
     groups: tuple[int, ...] = (6, 6, 12, 24, 80)
+    #: v3 Res_ELIC only: extra pixel-level analysis stage over the raw frame
+    #: (ICIP2023/src/model/offset_res_elic.py:322-328, g_a0).
+    pixel_stage: bool = False
+    #: context quantization: True = STE (v4, compression_bottlenecks.py:238,
+    #: 257); False = same mode as the likelihoods (v3 noise-quantized
+    #: training, offset_res_elic.py:346-348).
+    ctx_ste: bool = True
 
     def setup(self):
         N, M = self.N, self.M
         assert sum(self.groups) == M
+        if self.pixel_stage:
+            self.g_a0 = _ConvRBB(N)
         self.g_a1 = _ConvRBB(N)
         self.g_a2 = _ConvRBB(N)
         self.g_a3 = _ConvRBB(M)
@@ -183,10 +192,14 @@ class CondELIC(nn.Module):
             interp(self.InverseGain),
         )
 
-    def analysis(self, c1, c2, c3, s):
+    def analysis(self, c1, c2, c3, s, x_pixel=None):
         """Conditional analysis -> gained (y, z)."""
         gain, hypergain, _, _ = self.interpolate_gain(s)
-        y = self.g_a1(c1)
+        if self.pixel_stage:
+            y = self.g_a0(x_pixel)
+            y = self.g_a1(jnp.concatenate([y, c1], axis=-1))
+        else:
+            y = self.g_a1(c1)
         y = self.g_a2(jnp.concatenate([y, c2], axis=-1))
         y = self.g_a3(jnp.concatenate([y, c3], axis=-1))
         y = y * gain
@@ -243,15 +256,16 @@ class CondELIC(nn.Module):
         s,
         mode: str = "ste",
         rng=None,
+        x_pixel=None,
     ):
         """Full pass.
 
         inputs: (i1, i2, i3) analysis inputs per scale (include the current
           frame's features). conds: (c1, c2, c3) decoder-side conditioning
           (reference features only). mode: 'ste' (v4), 'noise' (v3 training),
-          'dequantize' (eval).
+          'dequantize' (eval). x_pixel: raw frame for ``pixel_stage``.
         """
-        y, z = self.analysis(*inputs, s)
+        y, z = self.analysis(*inputs, s, x_pixel=x_pixel)
         likelihoods = {}
         lik_mode = "noise" if mode == "noise" else "dequantize"
         _, z_lik = self.entropy_bottleneck(
@@ -267,10 +281,16 @@ class CondELIC(nn.Module):
             groups.append(y[..., start : start + g])
             start += g
 
+        def ctx_quant(v, key):
+            if self.ctx_ste:
+                return ste_round(v)
+            r = None if rng is None else jax.random.fold_in(rng, key)
+            return quantize(v, lik_mode, rng=r)
+
         for i, curr_y in enumerate(groups):
-            y_half = keep_anchor(ste_round(curr_y))
+            y_half = keep_anchor(ctx_quant(curr_y, 100 + i))
             prev = (
-                ste_round(jnp.concatenate(groups[:i], axis=-1))
+                ctx_quant(jnp.concatenate(groups[:i], axis=-1), 200 + i)
                 if i > 0
                 else None
             )

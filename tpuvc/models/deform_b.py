@@ -1,0 +1,146 @@
+"""DeformB — the v3 (ICIP2023) B-frame codec: feature-space deformable
+alignment without explicit flow.
+
+TPU-native rebuild of /root/reference/ICIP2023/src/model/m.py:19-140 (M17):
+  1. 3-scale feature pyramids (32/64/96) of both references and the current
+     frame.
+  2. Offset_ELIC codes deformable offsets+masks per scale, conditioned on
+     both references' features only (no flow, no warping).
+  3. Per scale and per reference, an 8-group modulated deformable conv
+     aligns the reference features; the two aligned maps are concatenated
+     (compensated channels = 2x feature channels).
+  4. Res_ELIC (with an extra pixel-level analysis stage over the raw current
+     frame and noise-quantized training) codes feature residues; the deconv
+     reconstructor decodes RGB.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from tpuvc.entropy.emath import likelihood_to_bits
+from tpuvc.models.cond_elic import CondELIC
+from tpuvc.models.ms_feature import MSFeature, ReconstructorDeconv, TemporalEnc
+from tpuvc.ops.deform import DeformConv
+
+
+def _head_to_deform(head):
+    """v3 head layout (m.py:72-86): 216ch = [ox(72) | oy(72) | mask(72)],
+    each 72 = 8 groups x 9 taps -> our deform layout ((dy, dx) per tap) and
+    sigmoid masks."""
+    ox, oy, m = jnp.split(head, 3, axis=-1)
+    b, h, w, _ = ox.shape
+    off = jnp.stack(
+        [oy.reshape(b, h, w, 72), ox.reshape(b, h, w, 72)], axis=-1
+    ).reshape(b, h, w, 144)
+    return off, nn.sigmoid(m)
+
+
+class DeformB(nn.Module):
+    feature_channels: tuple[int, int, int] = (32, 64, 96)
+    N: int = 128
+    M: int = 128
+    levels: int = 5
+    groups: tuple[int, ...] = (6, 6, 12, 24, 80)
+
+    def setup(self):
+        fc = self.feature_channels
+        self.feature_extractor = MSFeature(channels=fc)
+        self.offset_temp_encoder = TemporalEnc(N=self.N, M=self.M)
+        self.offset_compressor = CondELIC(
+            head_channels=(432, 432, 432), N=self.N, M=self.M,
+            levels=self.levels, groups=self.groups, ctx_ste=False,
+        )
+        # Two deform convs per scale (one per reference), 8 groups each.
+        self.deconv_l3_1 = DeformConv(features=fc[2], groups=8)
+        self.deconv_l3_2 = DeformConv(features=fc[2], groups=8)
+        self.deconv_l2_1 = DeformConv(features=fc[1], groups=8)
+        self.deconv_l2_2 = DeformConv(features=fc[1], groups=8)
+        self.deconv_l1_1 = DeformConv(features=fc[0], groups=8)
+        self.deconv_l1_2 = DeformConv(features=fc[0], groups=8)
+        self.residual_temp_encoder = TemporalEnc(N=self.N, M=self.M)
+        # Residues live in the concatenated (2x) compensated space.
+        self.residual_compressor = CondELIC(
+            head_channels=(2 * fc[0], 2 * fc[1], 2 * fc[2]),
+            N=self.N, M=self.M, levels=self.levels, groups=self.groups,
+            pixel_stage=True, ctx_ste=False,
+        )
+        self.reconstructor = ReconstructorDeconv(
+            channels=(2 * fc[0], 2 * fc[1], 2 * fc[2])
+        )
+
+    def _deform_pair(self, head, f1, f2, d1, d2):
+        o1, o2 = jnp.split(head, 2, axis=-1)
+        off1, m1 = _head_to_deform(o1)
+        off2, m2 = _head_to_deform(o2)
+        return jnp.concatenate([d1(f1, off1, m1), d2(f2, off2, m2)], axis=-1)
+
+    def __call__(self, xref1, xref2, xcur, s, mode: str = "noise", rng=None):
+        B, H, W, _ = xcur.shape
+        num_pixels = B * H * W
+        rngs = jax.random.split(rng, 2) if rng is not None else (None, None)
+
+        fref1 = self.feature_extractor(xref1)
+        fref2 = self.feature_extractor(xref2)
+        fcur = self.feature_extractor(xcur)
+
+        cond = tuple(
+            jnp.concatenate([r1, r2], axis=-1)
+            for r1, r2 in zip(fref1, fref2)
+        )
+        inputs = tuple(
+            jnp.concatenate([c, f], axis=-1) for c, f in zip(cond, fcur)
+        )
+        offset_temp = self.offset_temp_encoder(*cond)
+        offset_result = self.offset_compressor(
+            inputs, cond, offset_temp, s, mode=mode, rng=rngs[0]
+        )
+
+        x_comp_l3 = self._deform_pair(
+            offset_result["out3"], fref1[2], fref2[2],
+            self.deconv_l3_1, self.deconv_l3_2,
+        )
+        x_comp_l2 = self._deform_pair(
+            offset_result["out2"], fref1[1], fref2[1],
+            self.deconv_l2_1, self.deconv_l2_2,
+        )
+        x_comp_l1 = self._deform_pair(
+            offset_result["out1"], fref1[0], fref2[0],
+            self.deconv_l1_1, self.deconv_l1_2,
+        )
+
+        res_temp = self.residual_temp_encoder(x_comp_l1, x_comp_l2, x_comp_l3)
+        res_inputs = tuple(
+            jnp.concatenate([f, xc], axis=-1)
+            for f, xc in zip(fcur, (x_comp_l1, x_comp_l2, x_comp_l3))
+        )
+        res_result = self.residual_compressor(
+            res_inputs,
+            (x_comp_l1, x_comp_l2, x_comp_l3),
+            res_temp,
+            s,
+            mode=mode,
+            rng=rngs[1],
+            x_pixel=xcur,
+        )
+
+        x_comp_l1 = x_comp_l1 + res_result["out1"]
+        x_comp_l2 = x_comp_l2 + res_result["out2"]
+        x_comp_l3 = x_comp_l3 + res_result["out3"]
+        x_hat = self.reconstructor(x_comp_l1, x_comp_l2, x_comp_l3)
+
+        bits = sum(
+            likelihood_to_bits(l)
+            for l in offset_result["likelihoods"].values()
+        ) + sum(
+            likelihood_to_bits(l) for l in res_result["likelihoods"].values()
+        )
+        return {"x_hat": x_hat, "size": bits, "rate": bits / num_pixels}
+
+    def aux_loss(self):
+        return (
+            self.offset_compressor.aux_loss()
+            + self.residual_compressor.aux_loss()
+        )
