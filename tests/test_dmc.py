@@ -1,0 +1,83 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpuvc.gop.adaptive import fractional_ratio_search
+from tpuvc.models.dmc import PFrameDMC
+
+
+@pytest.fixture(scope="module")
+def dmc():
+    model = PFrameDMC(feat=16, N=32)
+    x = jnp.zeros((1, 128, 128, 3), jnp.float32)
+    dpb = {"ref_frame": x, "ref_feature": None, "ref_down_ratio": 1.0}
+    variables = model.init(jax.random.key(0), x, dpb, 1.0, "dequantize")
+    return model, variables
+
+
+def _pair(rng, shape=(1, 128, 128, 3)):
+    base = rng.random(shape, dtype=np.float32)
+    drift = 0.03 * rng.standard_normal(shape).astype(np.float32)
+    return jnp.asarray(base), jnp.clip(jnp.asarray(base + drift), 0, 1)
+
+
+class TestPFrameDMC:
+    def test_first_p_frame(self, dmc, rng):
+        model, variables = dmc
+        ref, x = _pair(rng)
+        dpb = {"ref_frame": ref, "ref_feature": None, "ref_down_ratio": 1.0}
+        out = model.apply(variables, x, dpb, 1.0, "dequantize")
+        assert out["x_hat"].shape == x.shape
+        assert float(out["bits"]) > 0
+        assert out["dpb"]["ref_feature"].shape[-1] == 16
+
+    def test_chained_frames_propagate_dpb(self, dmc, rng):
+        model, variables = dmc
+        ref, x1 = _pair(rng)
+        dpb = {"ref_frame": ref, "ref_feature": None, "ref_down_ratio": 1.0}
+        out1 = model.apply(variables, x1, dpb, 1.0, "dequantize")
+        x2 = jnp.clip(x1 + 0.02, 0, 1)
+        # Second frame uses the propagated feature (different param path).
+        out2 = model.apply(variables, x2, out1["dpb"], 1.0, "dequantize")
+        assert np.isfinite(float(out2["bits"]))
+
+    def test_fractional_ratio_coding(self, dmc, rng):
+        model, variables = dmc
+        ref, x = _pair(rng)
+        dpb = {"ref_frame": ref, "ref_feature": None, "ref_down_ratio": 1.0}
+        out = model.apply(variables, x, dpb, 2.5, "dequantize")
+        assert out["x_hat"].shape == x.shape
+        assert out["dpb"]["ref_down_ratio"] == 2.5
+
+    def test_ratio_search_with_hysteresis(self, dmc, rng):
+        model, variables = dmc
+        ref, x = _pair(rng)
+
+        def predict(ratio):
+            return model.apply(
+                variables, x, ref, ratio, method=PFrameDMC.warp_prediction
+            )
+
+        ratio, psnr, best = fractional_ratio_search(
+            predict, x, prev_ratio=1.0, ratios=(1.0, 2.0, 4.0)
+        )
+        assert ratio in (1.0, 2.0, 4.0)
+        assert np.isfinite(psnr)
+
+    def test_grads(self, dmc, rng):
+        model, variables = dmc
+        ref, x = _pair(rng)
+        dpb = {"ref_frame": ref, "ref_feature": None, "ref_down_ratio": 1.0}
+
+        def loss(p):
+            out = model.apply(
+                {"params": p}, x, dpb, 1.0, "ste", rng=jax.random.key(1)
+            )
+            return 0.01 * 255**2 * jnp.mean((out["x_hat"] - x) ** 2) + out[
+                "rate"
+            ]
+
+        g = jax.grad(loss)(variables["params"])
+        total = sum(float(jnp.abs(l).sum()) for l in jax.tree.leaves(g))
+        assert np.isfinite(total) and total > 0

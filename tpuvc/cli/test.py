@@ -1,0 +1,226 @@
+"""Full-sequence RD evaluation entry point (the reference's ``main.py`` /
+``testing.py``).
+
+    python -m tpuvc.cli.test --config cfg.yaml model.family=flowguided_b \
+        dataset.root=/data/UVG results_csv=results.csv
+
+Walks levels x sequences with the GOP-16 coding order, codes I-frames with
+the ELIC intra codec and B-frames with the selected codec family, and writes
+the ICIP-format results CSV (level, sequence, psnr, bpp).
+
+Parity: /root/reference/ICIP2023/main.py + src/test.py:98-178, and the
+family-specific harnesses (LHBDC/test/testing.py, Flex-Rate testing.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import time
+
+
+def build_models(cfg, rng_seed: int = 0):
+    import jax
+    import jax.numpy as jnp
+
+    from tpuvc.models.elic import ELIC
+
+    mc = cfg.model
+    fam = mc.family
+    init_x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    key = jax.random.key(rng_seed)
+
+    intra = ELIC()
+    intra_vars = intra.init(key, init_x, "dequantize")
+
+    if fam == "lhbdc":
+        from tpuvc.models.lhbdc import LHBDC
+
+        model = LHBDC(N=mc.N)
+        variables = model.init(key, init_x, init_x, init_x, "dequantize")
+    elif fam == "flexrate":
+        from tpuvc.models.flexrate import BidirFlowRef
+
+        model = BidirFlowRef(N=mc.N)
+        variables = model.init(
+            key, init_x, init_x, init_x, 0, 1.0, "dequantize"
+        )
+    elif fam == "deform_b":
+        from tpuvc.models.deform_b import DeformB
+
+        model = DeformB(N=mc.N, M=mc.M, levels=mc.levels)
+        variables = model.init(key, init_x, init_x, init_x, 0, "dequantize")
+    elif fam == "flowguided_b":
+        from tpuvc.models.flowguided_b import FlowGuidedB
+
+        model = FlowGuidedB(
+            N=mc.N, M=mc.M, levels=mc.levels,
+            feature_channels=tuple(mc.feature_channels),
+        )
+        variables = model.init(
+            key, init_x, init_x, init_x, 0, 0.5, -0.5, 1, "dequantize"
+        )
+    else:
+        raise ValueError(f"unknown model family: {fam}")
+    return (intra, intra_vars), (model, variables)
+
+
+def make_frame_fns(cfg, intra_pack, inter_pack, level: int):
+    """Build (intra_fn, inter_fn) closures for eval_sequence."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuvc.gop.adaptive import best_down_ratio_prediction
+    from tpuvc.models.flowguided_b import FlowGuidedB, get_scales
+
+    intra, intra_vars = intra_pack
+    model, variables = inter_pack
+    fam = cfg.model.family
+
+    @jax.jit
+    def intra_fn_j(v, x):
+        out = intra.apply(v, x, "dequantize")
+        bits = sum(
+            -jnp.sum(jnp.log2(jnp.maximum(l, 1e-9)))
+            for l in out["likelihoods"].values()
+        )
+        return out["x_hat"], bits
+
+    def intra_fn(x):
+        dec, bits = intra_fn_j(intra_vars, x)
+        return dec, bits
+
+    if fam == "lhbdc":
+
+        @jax.jit
+        def inter_j(v, r1, r2, xc):
+            out = model.apply(v, r1, xc, r2, "dequantize")
+            return out["x_hat"], out["bits"]
+
+        def inter_fn(r1, r2, xc, order, o1, o2):
+            return inter_j(variables, r1, r2, xc)
+
+    elif fam == "flexrate":
+        from tpuvc.gop.rate_control import flexrate_rate_for_frame
+
+        @jax.jit
+        def inter_j(v, r1, r2, xc, n, l):
+            out = model.apply(v, r1, xc, r2, n, l, "dequantize")
+            return out["x_hat"], jnp.sum(out["size"])
+
+        def inter_fn(r1, r2, xc, order, o1, o2):
+            d = max(abs(o2 - o1), 1)
+            hier = max(1, int(round(math.log2(16 / d))) + 1)
+            n, l = flexrate_rate_for_frame(level, hier)
+            return inter_j(variables, r1, r2, xc, n, l)
+
+    elif fam == "deform_b":
+
+        @jax.jit
+        def inter_j(v, r1, r2, xc, s):
+            out = model.apply(v, r1, r2, xc, s, "dequantize")
+            return out["x_hat"], out["size"]
+
+        def inter_fn(r1, r2, xc, order, o1, o2):
+            return inter_j(variables, r1, r2, xc, float(level))
+
+    elif fam == "flowguided_b":
+        pred_cache = {}
+
+        def predict(r1, r2, s1, s2):
+            def p(ratio):
+                if ratio not in pred_cache:
+                    pred_cache[ratio] = jax.jit(
+                        lambda v, a, b, x1, x2, ratio=ratio: model.apply(
+                            v, a, b, x1, x2, ratio,
+                            method=FlowGuidedB.prediction_flowonly,
+                        )
+                    )
+                return pred_cache[ratio](variables, r1, r2, s1, s2)
+
+            return p
+
+        inter_cache = {}
+
+        def inter_fn(r1, r2, xc, order, o1, o2):
+            s1, s2 = get_scales(order, o1, o2)
+            if cfg.adaptive_down_ratio:
+                ratio, _ = best_down_ratio_prediction(
+                    predict(r1, r2, s1, s2), xc
+                )
+            else:
+                ratio = 1
+            if ratio not in inter_cache:
+                inter_cache[ratio] = jax.jit(
+                    lambda v, a, b, x, s, sc1, sc2, ratio=ratio: (
+                        lambda out: (out["x_hat"], out["size"])
+                    )(
+                        model.apply(
+                            v, a, b, x, s, sc1, sc2, ratio, "dequantize"
+                        )
+                    )
+                )
+            return inter_cache[ratio](
+                variables, r1, r2, xc, float(level), s1, s2
+            )
+
+    else:
+        raise ValueError(fam)
+    return intra_fn, inter_fn
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", default=None)
+    p.add_argument("overrides", nargs="*")
+    args = p.parse_args(argv)
+
+    from tpuvc.config import TestConfig, apply_overrides, load_yaml
+
+    cfg = load_yaml(args.config) if args.config else TestConfig()
+    apply_overrides(cfg, args.overrides)
+
+    import jax.numpy as jnp
+
+    from tpuvc.data.uvg import SequenceFrames
+    from tpuvc.eval.infographic import TestInfographic
+    from tpuvc.eval.runner import eval_sequence
+    from tpuvc.gop.order import get_order_typ_list
+
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    intra_pack, inter_pack = build_models(cfg, cfg.seed)
+    info = TestInfographic()
+
+    t0 = time.perf_counter()
+    for level in cfg.levels:
+        intra_fn, inter_fn = make_frame_fns(cfg, intra_pack, inter_pack, level)
+        for seq, n_frames in cfg.dataset.sequences.items():
+            frames = SequenceFrames(
+                os.path.join(cfg.dataset.root, seq), n_frames
+            )
+            order, typ = get_order_typ_list(cfg.dataset.gop, len(frames))
+
+            class _Device:
+                """Lazy host->device frame access: 600 x 1080p frames must
+                not sit in HBM at once (the DPB holds the decoded ones)."""
+
+                def __getitem__(self, i):
+                    return jnp.asarray(frames[i])
+
+            psnrs, sizes = eval_sequence(
+                _Device(), order, typ, intra_fn, inter_fn,
+                crop_hw=frames.size, video=seq, level=level, info=info,
+            )
+            print(
+                f"level {level} {seq}: psnr "
+                f"{sum(psnrs)/len(psnrs):.2f} bpp "
+                f"{sum(sizes)/len(sizes)/(frames.size[0]*frames.size[1]):.4f}"
+            )
+    out = info.results_csv(os.path.join(cfg.output_dir, cfg.results_csv))
+    print(out.to_string(index=False))
+    print(f"elapsed {time.perf_counter() - t0:.1f}s")
+
+
+if __name__ == "__main__":
+    main()

@@ -86,6 +86,10 @@ def get_order_typ_list(intra_size: int, frame_number: int):
       - I-frames every ``intra_size`` plus a forced final I,
       - the tail rewrites for 300- and 600-frame sequences.
     """
+    # The dyadic base order is GOP-16-specific (as in the reference, which
+    # only ever calls this with intra_size=16); other GOPs use the static
+    # tables via gop_coding_table.
+    assert intra_size == 16, "get_order_typ_list assumes a 16-frame base order"
     order = [16, 8, 4, 12, 2, 14, 6, 10, 1, 15, 3, 13, 5, 11, 7, 9]
     o = [0]
     lll = len(order)
