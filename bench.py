@@ -25,7 +25,16 @@ REFERENCE_CPU_FPS = 0.1  # PyTorch-CPU 1080p anchor (see docstring)
 
 
 def main():
+    import os
+
     import jax
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
     import jax.numpy as jnp
     import numpy as np
 
@@ -49,16 +58,23 @@ def main():
         out = model.apply(v, xb, xc, xa, "dequantize")
         return out["x_hat"], out["bits"]
 
-    # Compile + warmup.
+    # Compile + warmup. block_until_ready is unreliable on the axon relay
+    # backend (async futures); a host fetch of the result scalar is the
+    # honest completion barrier.
     x_hat, bits = forward(variables, *frames)
-    x_hat.block_until_ready()
+    float(bits)
 
     iters = 10
     t0 = time.perf_counter()
-    for _ in range(iters):
-        x_hat, bits = forward(variables, *frames)
-    x_hat.block_until_ready()
+    outs = []
+    for i in range(iters):
+        x_hat, bits = forward(
+            variables, frames[i % 3], frames[(i + 1) % 3], frames[(i + 2) % 3]
+        )
+        outs.append(bits)
+    total_bits = sum(float(b) for b in outs)  # forces completion of all
     dt = time.perf_counter() - t0
+    assert total_bits > 0
     fps = iters / dt
 
     print(

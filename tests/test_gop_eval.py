@@ -149,3 +149,20 @@ class TestInfographicLedger:
         out = info.results_csv(tmp_path / "results.csv")
         assert list(out.columns) == ["level", "sequence", "psnr", "bpp"]
         assert (tmp_path / "results.csv").exists()
+
+
+class TestPlots:
+    def test_rd_curve_and_per_frame(self, tmp_path):
+        from tpuvc.eval.plots import per_frame_figure, rd_curve
+
+        p1 = rd_curve(
+            {"tpuvc": ([0.05, 0.1, 0.2], [36.0, 37.5, 39.0])},
+            str(tmp_path / "rd.png"),
+        )
+        p2 = per_frame_figure(
+            [35.0, 36.0, 35.5], [1000, 500, 700], 1080 * 1920,
+            str(tmp_path / "pf.png"),
+        )
+        import os
+
+        assert os.path.getsize(p1) > 0 and os.path.getsize(p2) > 0

@@ -96,3 +96,17 @@ class TestRansRoundTrip:
             stream, indexes, tables.cdfs, tables.cdf_lengths, tables.offsets
         )
         np.testing.assert_array_equal(dec, symbols)
+
+
+class TestNativeCdfQuantizer:
+    def test_matches_numpy(self, rng):
+        from tpuvc.coder.rans import pmf_to_quantized_cdf_native
+
+        for trial in range(50):
+            n = int(rng.integers(1, 300))
+            pmf = rng.random(n) ** 3
+            if trial % 3 == 0:
+                pmf[rng.integers(0, n)] = 0.0
+            a = pmf_to_quantized_cdf(pmf)
+            b = pmf_to_quantized_cdf_native(pmf)
+            np.testing.assert_array_equal(a, b)

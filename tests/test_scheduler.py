@@ -1,0 +1,69 @@
+"""Level-batched GOP coding must match the sequential path exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpuvc.gop.order import gop_coding_table
+from tpuvc.gop.scheduler import code_gop_batched
+
+
+@pytest.fixture(scope="module")
+def lhbdc():
+    from tpuvc.models.lhbdc import LHBDC
+
+    model = LHBDC(N=16)
+    x = jnp.zeros((1, 192, 192, 3), jnp.float32)
+    variables = model.init(jax.random.key(0), x, x, x, "dequantize")
+    return model, variables
+
+
+class TestLevelBatchedGop:
+    def test_matches_sequential(self, lhbdc, rng):
+        model, variables = lhbdc
+        table = gop_coding_table(8)
+        base = rng.random((192, 192, 3), dtype=np.float32)
+        drift = 0.01 * rng.standard_normal((192, 192, 3)).astype(np.float32)
+        frames = [
+            jnp.asarray(np.clip(base + i * drift, 0, 1))[None]
+            for i in range(9)
+        ]
+        i_frames = {0: frames[0], 8: frames[8]}
+
+        @jax.jit
+        def fwd(v, r1, r2, xc):
+            out = model.apply(v, r1, xc, r2, "dequantize")
+            return out["x_hat"], out["sizes"]
+
+        def inter_batched(r1, r2, xc, idxs, refs):
+            return fwd(variables, r1, r2, xc)
+
+        decoded, sizes = code_gop_batched(frames, i_frames, table, inter_batched)
+        assert set(decoded) == set(range(9))
+        assert all(s > 0 for s in sizes.values())
+
+        # Sequential reference: walk the coding order one frame at a time.
+        seq_decoded = dict(i_frames)
+        seq_sizes = {}
+        for f in table.order:
+            if f in i_frames:
+                continue
+            a, b = table.refs[f]
+            x_hat, s = fwd(variables, seq_decoded[a], seq_decoded[b], frames[f])
+            seq_decoded[f] = jnp.clip(x_hat, 0, 1)
+            seq_sizes[f] = float(s[0])
+
+        # Batched and sequential graphs are numerically equivalent but not
+        # bit-identical (XLA reduction order varies with batch size); each
+        # path is individually deterministic, which is the property real
+        # coding needs. Tolerance covers float32 conv accumulation noise.
+        for f in seq_sizes:
+            np.testing.assert_allclose(
+                np.asarray(decoded[f]), np.asarray(seq_decoded[f]),
+                atol=1e-4,
+                err_msg=f"frame {f}",
+            )
+            assert abs(sizes[f] - seq_sizes[f]) < max(
+                2e-4 * seq_sizes[f], 2.0
+            ), f

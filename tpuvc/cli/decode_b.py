@@ -17,6 +17,7 @@ import os
 
 def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--family", choices=["lhbdc", "flexrate"], default="lhbdc")
     p.add_argument("--ref_1", default="frames/ref_1.png")
     p.add_argument("--ref_2", default="frames/ref_2.png")
     p.add_argument("--bin", default="bits.bin")
@@ -34,20 +35,34 @@ def main(argv=None):
 
     from tpuvc.coder.container import BFrameBitstream
     from tpuvc.data.frames import float_to_uint8, prepare_frame, save_png
-    from tpuvc.models.lhbdc import LHBDC, LHBDCCoder
     from tpuvc.utils.checkpoint import load_checkpoint
 
     with open(args.bin, "rb") as f:
         bits = BFrameBitstream.deserialize(f.read())
 
-    model = LHBDC(N=args.N)
+    x = jnp.zeros((1, 192, 192, 3), jnp.float32)
+    if args.family == "lhbdc":
+        from tpuvc.models.lhbdc import LHBDC, LHBDCCoder
+
+        model = LHBDC(N=args.N)
+        ckpt = f"compression_{bits.rate_id}.msgpack"
+        init = lambda: model.init(jax.random.key(0), x, x, x, "dequantize")
+        make = LHBDCCoder
+    else:
+        from tpuvc.models.flexrate import BidirFlowRef, FlexRateCoder
+
+        model = BidirFlowRef(N=args.N)
+        ckpt = "flexrate.msgpack"
+        init = lambda: model.init(
+            jax.random.key(0), x, x, x, 0, 1.0, "dequantize"
+        )
+        make = FlexRateCoder
     if args.init == "load":
-        path = os.path.join(args.weights, f"compression_{bits.rate_id}.msgpack")
+        path = os.path.join(args.weights, ckpt)
         variables = {"params": load_checkpoint(path)["params"]}
     else:
-        x = jnp.zeros((1, 192, 192, 3), jnp.float32)
-        variables = model.init(jax.random.key(0), x, x, x, "dequantize")
-    coder = LHBDCCoder(model, variables)
+        variables = init()
+    coder = make(model, variables)
 
     x_before, size = prepare_frame(args.ref_1)
     x_after, _ = prepare_frame(args.ref_2)

@@ -18,12 +18,17 @@ import os
 
 def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--family", choices=["lhbdc", "flexrate"], default="lhbdc")
     p.add_argument("--ref_1", default="frames/ref_1.png")
     p.add_argument("--ref_2", default="frames/ref_2.png")
     p.add_argument("--current", default="frames/current.png")
     p.add_argument("--bin", default="bits.bin")
     p.add_argument("--l", type=int, default=1626,
-                   help="lambda rate point (228|436|845|1626|3141)")
+                   help="lhbdc: lambda rate point (228|436|845|1626|3141)")
+    p.add_argument("--n", type=int, default=0,
+                   help="flexrate: gain level index")
+    p.add_argument("--interp", type=float, default=1.0,
+                   help="flexrate: fractional interpolation l in (0, 1]")
     p.add_argument("--weights", default="pretrained_weights")
     p.add_argument("--init", choices=["load", "random"], default="load")
     p.add_argument("--N", type=int, default=128)
@@ -34,17 +39,39 @@ def load_model(args):
     import jax
     import jax.numpy as jnp
 
-    from tpuvc.models.lhbdc import LHBDC
     from tpuvc.utils.checkpoint import load_checkpoint
 
-    model = LHBDC(N=args.N)
+    x = jnp.zeros((1, 192, 192, 3), jnp.float32)
+    if args.family == "lhbdc":
+        from tpuvc.models.lhbdc import LHBDC
+
+        model = LHBDC(N=args.N)
+        ckpt = f"compression_{args.l}.msgpack"
+        init = lambda: model.init(jax.random.key(0), x, x, x, "dequantize")
+    else:
+        from tpuvc.models.flexrate import BidirFlowRef
+
+        model = BidirFlowRef(N=args.N)
+        ckpt = "flexrate.msgpack"
+        init = lambda: model.init(
+            jax.random.key(0), x, x, x, 0, 1.0, "dequantize"
+        )
     if args.init == "load":
-        path = os.path.join(args.weights, f"compression_{args.l}.msgpack")
+        path = os.path.join(args.weights, ckpt)
         variables = {"params": load_checkpoint(path)["params"]}
     else:
-        x = jnp.zeros((1, 192, 192, 3), jnp.float32)
-        variables = model.init(jax.random.key(0), x, x, x, "dequantize")
+        variables = init()
     return model, variables
+
+
+def make_coder(args, model, variables):
+    if args.family == "lhbdc":
+        from tpuvc.models.lhbdc import LHBDCCoder
+
+        return LHBDCCoder(model, variables)
+    from tpuvc.models.flexrate import FlexRateCoder
+
+    return FlexRateCoder(model, variables)
 
 
 def main(argv=None):
@@ -52,17 +79,22 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from tpuvc.data.frames import prepare_frame
-    from tpuvc.models.lhbdc import LHBDCCoder
 
     model, variables = load_model(args)
-    coder = LHBDCCoder(model, variables)
+    coder = make_coder(args, model, variables)
     x_before, _ = prepare_frame(args.ref_1)
     x_after, _ = prepare_frame(args.ref_2)
     x_current, _ = prepare_frame(args.current)
-    bits = coder.encode(
-        jnp.asarray(x_before), jnp.asarray(x_current), jnp.asarray(x_after),
-        rate_id=args.l,
-    )
+    if args.family == "lhbdc":
+        bits = coder.encode(
+            jnp.asarray(x_before), jnp.asarray(x_current),
+            jnp.asarray(x_after), rate_id=args.l,
+        )
+    else:
+        bits = coder.encode(
+            jnp.asarray(x_before), jnp.asarray(x_current),
+            jnp.asarray(x_after), n=args.n, l=args.interp,
+        )
     with open(args.bin, "wb") as f:
         f.write(bits.serialize())
     print(f"wrote {bits.num_bytes} bytes to {args.bin}")

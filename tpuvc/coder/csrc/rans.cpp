@@ -17,6 +17,7 @@
 // rANS parameters: 16-bit probability precision, 32-bit state,
 // byte-wise renormalization, L = 1 << 23.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -206,6 +207,66 @@ int tpuvc_rans_decode(const uint8_t* stream, int nbytes, const int32_t* indexes,
     out_symbols[i] = value + offsets[idx];
   }
   return 0;
+}
+
+// PMF -> quantized CDF (C++ twin of tpuvc/entropy/cdf.py; the TPU-native
+// replacement for compressai._CXX.pmf_to_quantized_cdf). Every symbol gets a
+// frequency >= 1; the flooring deficit is granted to the largest-probability
+// symbols, a surplus is stolen from the largest frequencies. Must stay
+// byte-identical with the Python implementation (tests enforce it).
+// Returns 0 on success, -2 on malformed input.
+int tpuvc_pmf_to_quantized_cdf(const double* pmf, int n, int precision,
+                               int32_t* out_cdf /* size n+1 */) {
+  if (n < 1 || precision < 1 || precision > 24) return -2;
+  const int64_t total = int64_t{1} << precision;
+  if (n > total) return -2;
+
+  std::vector<double> p(pmf, pmf + n);
+  double norm = 0.0;
+  for (double& v : p) {
+    if (!(v == v) || v > 1e300) return -2;  // NaN / inf
+    if (v < 0.0) v = 0.0;
+    norm += v;
+  }
+  std::vector<int64_t> freqs(n);
+  if (norm <= 0.0) {
+    const int64_t base = total / n;
+    int64_t rem = total - base * n;
+    for (int i = 0; i < n; ++i) freqs[i] = base + (i < rem ? 1 : 0);
+  } else {
+    int64_t sum = 0;
+    for (int i = 0; i < n; ++i) {
+      int64_t f = static_cast<int64_t>(p[i] / norm * total);
+      if (f < 1) f = 1;
+      freqs[i] = f;
+      sum += f;
+    }
+    int64_t deficit = total - sum;
+    if (deficit > 0) {
+      // Stable argsort by descending pmf (ties by index), then round-robin.
+      std::vector<int> order(n);
+      for (int i = 0; i < n; ++i) order[i] = i;
+      std::stable_sort(order.begin(), order.end(),
+                       [&](int a, int b) { return p[a] > p[b]; });
+      for (int64_t k = 0; k < deficit; ++k) freqs[order[k % n]] += 1;
+    } else {
+      for (int64_t k = 0; k < -deficit; ++k) {
+        int imax = 0;
+        for (int i = 1; i < n; ++i) {
+          if (freqs[i] > freqs[imax]) imax = i;
+        }
+        if (freqs[imax] <= 1) return -2;
+        freqs[imax] -= 1;
+      }
+    }
+  }
+  out_cdf[0] = 0;
+  int64_t acc = 0;
+  for (int i = 0; i < n; ++i) {
+    acc += freqs[i];
+    out_cdf[i + 1] = static_cast<int32_t>(acc);
+  }
+  return acc == total ? 0 : -2;
 }
 
 }  // extern "C"

@@ -35,8 +35,27 @@ def _get_lib():
             i32p, ctypes.c_int, ctypes.c_int, i32p, i32p,
             i32p,
         ]
+        lib.tpuvc_pmf_to_quantized_cdf.restype = ctypes.c_int
+        lib.tpuvc_pmf_to_quantized_cdf.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int, i32p,
+        ]
         _lib = lib
     return _lib
+
+
+def pmf_to_quantized_cdf_native(pmf, precision: int = 16) -> np.ndarray:
+    """C++ pmf->CDF quantization; byte-identical with
+    tpuvc.entropy.cdf.pmf_to_quantized_cdf (tests enforce the match)."""
+    pmf = np.ascontiguousarray(pmf, dtype=np.float64)
+    out = np.empty(pmf.size + 1, dtype=np.int32)
+    lib = _get_lib()
+    rc = lib.tpuvc_pmf_to_quantized_cdf(
+        pmf.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        pmf.size, precision, _i32p(out),
+    )
+    if rc != 0:
+        raise ValueError(f"pmf_to_quantized_cdf failed (code {rc})")
+    return out
 
 
 def _as_i32(a) -> np.ndarray:

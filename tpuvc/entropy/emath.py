@@ -40,3 +40,10 @@ def likelihood_to_bits(likelihoods: jnp.ndarray) -> jnp.ndarray:
     """Total information content in bits: sum(-log2 p)."""
     p = lower_bound(likelihoods, LIKELIHOOD_BOUND)
     return jnp.sum(jnp.log(p)) / (-math.log(2.0))
+
+
+def per_sample_bits(likelihoods: jnp.ndarray) -> jnp.ndarray:
+    """(B,) bits per batch element: sum(-log2 p) over all non-batch dims."""
+    p = lower_bound(likelihoods, LIKELIHOOD_BOUND)
+    axes = tuple(range(1, p.ndim))
+    return jnp.sum(jnp.log(p), axis=axes) / (-math.log(2.0))

@@ -1,0 +1,54 @@
+"""Level-batched GOP scheduling: the TPU pipeline axis.
+
+The hierarchical B-levels of a GOP form a dependency DAG (SURVEY.md 2.5.2):
+frames within one hierarchy level depend only on frames from shallower
+levels, so they are mutually independent and can be coded as ONE batched
+forward. For GOP-16 that turns 15 sequential B-frame evaluations into 4
+batched ones (batch 1, 2, 4, 8) — the MXU sees large batches exactly where
+the reference's hot loop (LHBDC/test/testing.py:167) ran frame-by-frame.
+
+The sequential runner (tpuvc.eval.runner) remains the parity path; this
+scheduler is the performance path and is tested to produce identical
+reconstructions and per-frame sizes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import jax.numpy as jnp
+
+from tpuvc.gop.order import GopTable
+
+
+def code_gop_batched(
+    frames,
+    i_frames: dict[int, jnp.ndarray],
+    table: GopTable,
+    inter_fn_batched: Callable,
+):
+    """Code one GOP with level-batched B-frame forwards.
+
+    Args:
+      frames: indexable of (1, H, W, 3) source frames, indexed 0..gop.
+      i_frames: {0: decoded I, gop: decoded I} anchor reconstructions.
+      inter_fn_batched(ref1 (B,H,W,3), ref2, xcur, frame_indices, ref_pairs)
+        -> (x_hat (B,H,W,3), sizes (B,)).
+
+    Returns ({frame_idx: decoded (1,H,W,3)}, {frame_idx: bits}).
+    """
+    decoded = dict(i_frames)
+    sizes: dict[int, float] = {}
+    for level_frames in table.frames_by_level():
+        refs = [table.refs[f] for f in level_frames]
+        ref1 = jnp.concatenate([decoded[a] for a, _ in refs], axis=0)
+        ref2 = jnp.concatenate([decoded[b] for _, b in refs], axis=0)
+        xcur = jnp.concatenate([frames[f] for f in level_frames], axis=0)
+        x_hat, level_sizes = inter_fn_batched(
+            ref1, ref2, xcur, tuple(level_frames), tuple(refs)
+        )
+        x_hat = jnp.clip(x_hat, 0.0, 1.0)
+        for i, f in enumerate(level_frames):
+            decoded[f] = x_hat[i : i + 1]
+            sizes[f] = float(level_sizes[i])
+    return decoded, sizes

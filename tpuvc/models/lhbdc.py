@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from tpuvc.entropy.emath import likelihood_to_bits
+from tpuvc.entropy.emath import likelihood_to_bits, per_sample_bits
 from tpuvc.models.hyperprior import MVCompressor, ResidualCompressor
 from tpuvc.models.spynet import SPyNet
 from tpuvc.models.unet import MaskUNet
@@ -98,6 +98,11 @@ class LHBDC(nn.Module):
             likelihood_to_bits(l) for l in res_out["likelihoods"].values()
         )
         rate = (bits_flow + bits_res) / (2.0 * num_pixels)
+        # Per-sample bits enable level-batched GOP evaluation (independent
+        # frames share one forward; each needs its own size accounting).
+        sizes = sum(
+            per_sample_bits(l) for l in flow_out["likelihoods"].values()
+        ) + sum(per_sample_bits(l) for l in res_out["likelihoods"].values())
         return {
             "x_hat": x_hat,
             "x_pred": x_pred,
@@ -105,6 +110,7 @@ class LHBDC(nn.Module):
             "bits": bits_flow + bits_res,
             "bits_flow": bits_flow,
             "bits_residual": bits_res,
+            "sizes": sizes,
         }
 
     def aux_loss(self):
