@@ -181,6 +181,10 @@ def main(argv=None):
     cfg = load_yaml(args.config) if args.config else TestConfig()
     apply_overrides(cfg, args.overrides)
 
+    from tpuvc.utils.jaxcache import enable as enable_cache
+
+    enable_cache()
+
     import jax.numpy as jnp
 
     from tpuvc.data.uvg import SequenceFrames
@@ -190,6 +194,20 @@ def main(argv=None):
 
     os.makedirs(cfg.output_dir, exist_ok=True)
     intra_pack, inter_pack = build_models(cfg, cfg.seed)
+
+    # Load trained weights when present (filename conventions match the
+    # trainers'); random init otherwise (structural runs).
+    from tpuvc.utils.checkpoint import load_checkpoint
+
+    intra_ck = os.path.join(cfg.intra_weights, "latest.msgpack")
+    if os.path.exists(intra_ck):
+        intra_pack = (intra_pack[0], {"params": load_checkpoint(intra_ck)["params"]})
+        print(f"loaded intra weights from {intra_ck}")
+    inter_ck = os.path.join(cfg.inter_weights, "latest.msgpack")
+    if os.path.exists(inter_ck):
+        inter_pack = (inter_pack[0], {"params": load_checkpoint(inter_ck)["params"]})
+        print(f"loaded inter weights from {inter_ck}")
+
     info = TestInfographic()
 
     t0 = time.perf_counter()

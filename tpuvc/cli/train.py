@@ -35,6 +35,10 @@ def main(argv=None):
     )
     apply_overrides(cfg, args.overrides)
 
+    from tpuvc.utils.jaxcache import enable as enable_cache
+
+    enable_cache()
+
     os.makedirs(cfg.checkpoint_dir, exist_ok=True)
     logging.basicConfig(
         level=logging.INFO,

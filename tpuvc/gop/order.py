@@ -78,6 +78,39 @@ def gop_coding_table(gop: int) -> GopTable:
     return GopTable(gop, order, refs, level)
 
 
+def sequence_order_from_table(gop: int, frame_number: int):
+    """Sequence coding order built by tiling a static GOP table (the LHBDC /
+    Flex-Rate harness scheme: I every ``gop`` frames, dyadic B order inside
+    each GOP, trailing partial GOP coded I-then-sequential).
+
+    Returns (order list, type list) like get_order_typ_list.
+    """
+    table = gop_coding_table(gop)
+    typ = ["B"] * frame_number
+    order: list[int] = []
+    seen = set()
+    for start in range(0, frame_number - 1, gop):
+        end = start + gop
+        if end >= frame_number:
+            break
+        for f in table.order:
+            idx = start + f
+            if idx not in seen:
+                order.append(idx)
+                seen.add(idx)
+        typ[start] = "I"
+        typ[end] = "I"
+    # Trailing frames that never closed a GOP: force final I, then remaining
+    # frames rely on nearest-reference selection.
+    for idx in range(frame_number):
+        if idx not in seen:
+            order.append(idx)
+            seen.add(idx)
+    typ[0] = "I"
+    typ[-1] = "I"
+    return order, typ
+
+
 def get_order_typ_list(intra_size: int, frame_number: int):
     """Sequence-level coding order + frame types.
 

@@ -225,6 +225,62 @@ class FlowGuidedB(nn.Module):
             "rate": bits / num_pixels,
         }
 
+    # --- staged methods for the real-bitstream coder (decoder-side state is
+    # derivable from the references alone; XLA determinism makes the
+    # encoder/decoder recomputation bit-identical) ---
+
+    def decoder_context(self, xref1, xref2, scale1, scale2, down_ratio: int):
+        """Everything the decoder can compute from the refs: conditioning
+        pyramids, temporal prior, per-scale scaled flows, ref features."""
+        scale1, scale2 = convert_scales(scale1, scale2)
+        flow_l1 = self.estimate_flow(xref1, xref2, down_ratio)
+        fref1 = self.feature_extractor(xref1)
+        fref2 = self.feature_extractor(xref2)
+        f1_cur1, f1_cur2, w1_1, w2_1, flow_l2 = self.warped_refs_at_layer(
+            fref1[0], fref2[0], flow_l1, scale1, scale2
+        )
+        f2_cur1, f2_cur2, w1_2, w2_2, flow_l3 = self.warped_refs_at_layer(
+            fref1[1], fref2[1], flow_l2, scale1, scale2
+        )
+        f3_cur1, f3_cur2, w1_3, w2_3, _ = self.warped_refs_at_layer(
+            fref1[2], fref2[2], flow_l3, scale1, scale2
+        )
+        cond = tuple(
+            jnp.concatenate([a, b, c, d], axis=-1)
+            for a, b, c, d in (
+                (w1_1, w2_1, fref1[0], fref2[0]),
+                (w1_2, w2_2, fref1[1], fref2[1]),
+                (w1_3, w2_3, fref1[2], fref2[2]),
+            )
+        )
+        offset_temp = self.offset_temporal_conditioner(*cond)
+        flows = ((f1_cur1, f1_cur2), (f2_cur1, f2_cur2), (f3_cur1, f3_cur2))
+        return cond, offset_temp, flows, fref1, fref2
+
+    def features(self, x):
+        return self.feature_extractor(x)
+
+    def fuse_offsets(self, heads, fref1, fref2, flows):
+        """OffsetDiversity fusion of decoded offset heads -> x_comp triple."""
+        divs = (
+            self.offset_diversity_l1,
+            self.offset_diversity_l2,
+            self.offset_diversity_l3,
+        )
+        out = []
+        for i in range(3):
+            o1, o2 = jnp.split(heads[i], 2, axis=-1)
+            out.append(
+                divs[i](fref1[i], o1, flows[i][0], fref2[i], o2, flows[i][1])
+            )
+        return tuple(out)
+
+    def residual_cond(self, x_comp):
+        return self.residue_temporal_conditioner(*x_comp)
+
+    def reconstruct(self, x1, x2, x3):
+        return self.reconstructor(x1, x2, x3)
+
     def prediction_flowonly(
         self, xref1, xref2, scale1, scale2, down_ratio: int = 1
     ):
@@ -245,3 +301,115 @@ class FlowGuidedB(nn.Module):
             self.offset_compressor.aux_loss()
             + self.residual_compressor.aux_loss()
         )
+
+
+class FlowGuidedBCoder:
+    """Real-bitstream encode/decode for the v4 codec (beyond the reference,
+    whose v3/v4 evaluation is likelihood-only). The decoder recomputes flow,
+    features, warps, and temporal priors from the reconstructed references;
+    both conditional bottlenecks code through CondELICCoder."""
+
+    def __init__(self, model: FlowGuidedB, variables):
+        from tpuvc.models.cond_elic import CondELICCoder
+
+        self.model = model
+        self.variables = variables
+        params = variables["params"]
+        self.offset_coder = CondELICCoder(
+            OffsetELIC(
+                N=model.N, M=model.M, levels=model.levels, groups=model.groups
+            ),
+            {"params": params["offset_compressor"]},
+        )
+        self.res_coder = CondELICCoder(
+            ResELIC(
+                N=model.N, M=model.M, levels=model.levels,
+                feature_channels=model.feature_channels, groups=model.groups,
+            ),
+            {"params": params["residual_compressor"]},
+        )
+        m = model
+        self._context = jax.jit(
+            lambda v, r1, r2, s1, s2, dr: m.apply(
+                v, r1, r2, s1, s2, dr, method=FlowGuidedB.decoder_context
+            ),
+            static_argnums=(5,),
+        )
+        self._features = jax.jit(
+            lambda v, x: m.apply(v, x, method=FlowGuidedB.features)
+        )
+        self._fuse = jax.jit(
+            lambda v, heads, f1, f2, flows: m.apply(
+                v, heads, f1, f2, flows, method=FlowGuidedB.fuse_offsets
+            )
+        )
+        self._res_cond = jax.jit(
+            lambda v, xc: m.apply(v, xc, method=FlowGuidedB.residual_cond)
+        )
+        self._recon = jax.jit(
+            lambda v, x1, x2, x3: m.apply(
+                v, x1, x2, x3, method=FlowGuidedB.reconstruct
+            )
+        )
+
+    def _compensate(self, cond, offset_temp, flows, fref1, fref2,
+                    offset_streams, z_shape, s):
+        heads = self.offset_coder.decompress(
+            offset_streams, z_shape, cond, offset_temp, s
+        )
+        return self._fuse(self.variables, heads, fref1, fref2, flows)
+
+    def encode(self, xref1, xref2, xcur, s, scale1, scale2,
+               down_ratio: int = 1):
+        from tpuvc.coder.container import VFrameBitstream
+
+        cond, offset_temp, flows, fref1, fref2 = self._context(
+            self.variables, xref1, xref2, scale1, scale2, down_ratio
+        )
+        fcur = self._features(self.variables, xcur)
+        inputs = tuple(
+            jnp.concatenate([c, f], axis=-1) for c, f in zip(cond, fcur)
+        )
+        off = self.offset_coder.compress(inputs, cond, offset_temp, s)
+        # Reconstruct compensation exactly as the decoder will.
+        x_comp = self._compensate(
+            cond, offset_temp, flows, fref1, fref2,
+            off["streams"], off["z_shape"], s,
+        )
+        res_temp = self._res_cond(self.variables, x_comp)
+        res_inputs = tuple(
+            jnp.concatenate([f, xc], axis=-1) for f, xc in zip(fcur, x_comp)
+        )
+        res = self.res_coder.compress(res_inputs, x_comp, res_temp, s)
+        assert off["z_shape"] == res["z_shape"]
+        return VFrameBitstream(
+            s_milli=int(round(float(s) * 1000)),
+            down_ratio=down_ratio,
+            scale1_centi=int(round(float(scale1) * 100)),
+            scale2_centi=int(round(float(scale2) * 100)),
+            z_shape=off["z_shape"],
+            streams=list(off["streams"]) + list(res["streams"]),
+        )
+
+    def decode(self, xref1, xref2, bitstream):
+        s = bitstream.s_milli / 1000.0
+        scale1 = bitstream.scale1_centi / 100.0
+        scale2 = bitstream.scale2_centi / 100.0
+        n = 1 + 2 * len(self.model.groups)
+        off_streams = bitstream.streams[:n]
+        res_streams = bitstream.streams[n:]
+
+        cond, offset_temp, flows, fref1, fref2 = self._context(
+            self.variables, xref1, xref2, scale1, scale2,
+            int(bitstream.down_ratio),
+        )
+        x_comp = self._compensate(
+            cond, offset_temp, flows, fref1, fref2,
+            off_streams, bitstream.z_shape, s,
+        )
+        res_temp = self._res_cond(self.variables, x_comp)
+        residues = self.res_coder.decompress(
+            res_streams, bitstream.z_shape, x_comp, res_temp, s
+        )
+        x_full = tuple(xc + r for xc, r in zip(x_comp, residues))
+        return self._recon(self.variables, *x_full)
