@@ -59,3 +59,19 @@ class TestDeformB:
         g = jax.grad(loss)(variables["params"])
         total = sum(float(jnp.abs(l).sum()) for l in jax.tree.leaves(g))
         assert np.isfinite(total) and total > 0
+
+
+class TestDeformBBitstream:
+    def test_encode_decode_round_trip(self, deformb, rng):
+        from tpuvc.coder.container import VFrameBitstream
+        from tpuvc.models.deform_b import DeformBCoder
+
+        model, variables = deformb
+        x1, xc, x2 = _frames(rng)
+        coder = DeformBCoder(model, variables)
+        bits = coder.encode(x1, x2, xc, s=1.0)
+        parsed = VFrameBitstream.deserialize(bits.serialize())
+        x_hat = coder.decode(x1, x2, parsed)
+        assert x_hat.shape == xc.shape
+        x_hat2 = coder.decode(x1, x2, parsed)
+        np.testing.assert_array_equal(np.asarray(x_hat), np.asarray(x_hat2))

@@ -166,3 +166,28 @@ class TestPlots:
         import os
 
         assert os.path.getsize(p1) > 0 and os.path.getsize(p2) > 0
+
+
+class TestResultsIO:
+    def test_rd_txt(self, tmp_path):
+        from tpuvc.eval.results_io import write_rd_txt
+
+        p = write_rd_txt(
+            str(tmp_path / "psnr_bpp.txt"), "tpuvc", "PSNR",
+            [(0.0457, 35.43), (0.0648, 36.53)],
+            {"beauty": [(0.0226, 33.89)]},
+        )
+        text = open(p).read()
+        assert "0.0457,    35.43" in text
+        assert "# beauty sequence" in text
+
+    def test_per_frame_diagnostics(self, tmp_path):
+        from tpuvc.eval.results_io import PerFrameDiagnostics
+
+        d = PerFrameDiagnostics()
+        d.update(frame=0, type="I", psnr=38.0, bits=1e5, bpp=0.05)
+        d.update(frame=1, type="P", down_ratio=2.5, psnr=36.5, warp_psnr=30.1,
+                 bits=5e4, bpp=0.025, bits_mv=1e4, bits_y=4e4)
+        p = d.write(str(tmp_path / "diag.csv"))
+        rows = open(p).read().strip().splitlines()
+        assert len(rows) == 3 and rows[0].startswith("frame,")

@@ -39,6 +39,7 @@ def eval_sequence(
     level: int = 0,
     info: TestInfographic | None = None,
     dpb_capacity: int = 32,
+    compute_msssim: bool = False,
 ):
     """Evaluate one sequence at one rate level.
 
@@ -68,9 +69,17 @@ def eval_sequence(
         p = float(psnr_uint8(frame[:, :h, :w], dec[:, :h, :w]))
         psnr_list[order] = p
         size_list[order] = float(size)
+        extra = {}
+        if compute_msssim:
+            from tpuvc.eval.metrics import msssim
+
+            extra["msssim"] = float(
+                msssim(frame[:, :h, :w], jnp.clip(dec[:, :h, :w], 0, 1))
+            )
         if info is not None:
             info.update(
-                video, level, order, typ_list[order], p, float(size), h * w
+                video, level, order, typ_list[order], p, float(size), h * w,
+                **extra,
             )
         dpb.add(jnp.clip(dec, 0.0, 1.0), order)
 

@@ -139,8 +139,140 @@ class DeformB(nn.Module):
         )
         return {"x_hat": x_hat, "size": bits, "rate": bits / num_pixels}
 
+    # --- staged methods for the real-bitstream coder ---
+
+    def decoder_context(self, xref1, xref2):
+        fref1 = self.feature_extractor(xref1)
+        fref2 = self.feature_extractor(xref2)
+        cond = tuple(
+            jnp.concatenate([r1, r2], axis=-1)
+            for r1, r2 in zip(fref1, fref2)
+        )
+        offset_temp = self.offset_temp_encoder(*cond)
+        return cond, offset_temp, fref1, fref2
+
+    def features(self, x):
+        return self.feature_extractor(x)
+
+    def fuse_offsets(self, heads, fref1, fref2):
+        pairs = (
+            (self.deconv_l1_1, self.deconv_l1_2),
+            (self.deconv_l2_1, self.deconv_l2_2),
+            (self.deconv_l3_1, self.deconv_l3_2),
+        )
+        return tuple(
+            self._deform_pair(heads[i], fref1[i], fref2[i], *pairs[i])
+            for i in range(3)
+        )
+
+    def residual_cond(self, x_comp):
+        return self.residual_temp_encoder(*x_comp)
+
+    def reconstruct(self, x1, x2, x3):
+        return self.reconstructor(x1, x2, x3)
+
     def aux_loss(self):
         return (
             self.offset_compressor.aux_loss()
             + self.residual_compressor.aux_loss()
         )
+
+
+class DeformBCoder:
+    """Real-bitstream encode/decode for the v3 codec (beyond the reference,
+    which evaluates v3 B-frames from likelihoods only)."""
+
+    def __init__(self, model: DeformB, variables):
+        from tpuvc.models.cond_elic import CondELICCoder
+
+        self.model = model
+        self.variables = variables
+        params = variables["params"]
+        fc = model.feature_channels
+        self.offset_coder = CondELICCoder(
+            CondELIC(
+                head_channels=(432, 432, 432), N=model.N, M=model.M,
+                levels=model.levels, groups=model.groups, ctx_ste=False,
+            ),
+            {"params": params["offset_compressor"]},
+        )
+        self.res_coder = CondELICCoder(
+            CondELIC(
+                head_channels=(2 * fc[0], 2 * fc[1], 2 * fc[2]),
+                N=model.N, M=model.M, levels=model.levels,
+                groups=model.groups, pixel_stage=True, ctx_ste=False,
+            ),
+            {"params": params["residual_compressor"]},
+        )
+        m = model
+        self._context = jax.jit(
+            lambda v, r1, r2: m.apply(
+                v, r1, r2, method=DeformB.decoder_context
+            )
+        )
+        self._features = jax.jit(
+            lambda v, x: m.apply(v, x, method=DeformB.features)
+        )
+        self._fuse = jax.jit(
+            lambda v, heads, f1, f2: m.apply(
+                v, heads, f1, f2, method=DeformB.fuse_offsets
+            )
+        )
+        self._res_cond = jax.jit(
+            lambda v, xc: m.apply(v, xc, method=DeformB.residual_cond)
+        )
+        self._recon = jax.jit(
+            lambda v, x1, x2, x3: m.apply(
+                v, x1, x2, x3, method=DeformB.reconstruct
+            )
+        )
+
+    def encode(self, xref1, xref2, xcur, s):
+        from tpuvc.coder.container import VFrameBitstream
+
+        cond, offset_temp, fref1, fref2 = self._context(
+            self.variables, xref1, xref2
+        )
+        fcur = self._features(self.variables, xcur)
+        inputs = tuple(
+            jnp.concatenate([c, f], axis=-1) for c, f in zip(cond, fcur)
+        )
+        off = self.offset_coder.compress(inputs, cond, offset_temp, s)
+        heads = self.offset_coder.decompress(
+            off["streams"], off["z_shape"], cond, offset_temp, s
+        )
+        x_comp = self._fuse(self.variables, heads, fref1, fref2)
+        res_temp = self._res_cond(self.variables, x_comp)
+        res_inputs = tuple(
+            jnp.concatenate([f, xc], axis=-1) for f, xc in zip(fcur, x_comp)
+        )
+        res = self.res_coder.compress(
+            res_inputs, x_comp, res_temp, s, x_pixel=xcur
+        )
+        return VFrameBitstream(
+            s_milli=int(round(float(s) * 1000)),
+            down_ratio=1,
+            scale1_centi=0,
+            scale2_centi=0,
+            z_shape=off["z_shape"],
+            streams=list(off["streams"]) + list(res["streams"]),
+        )
+
+    def decode(self, xref1, xref2, bitstream):
+        s = bitstream.s_milli / 1000.0
+        n = 1 + 2 * len(self.model.groups)
+        off_streams = bitstream.streams[:n]
+        res_streams = bitstream.streams[n:]
+        cond, offset_temp, fref1, fref2 = self._context(
+            self.variables, xref1, xref2
+        )
+        heads = self.offset_coder.decompress(
+            off_streams, bitstream.z_shape, cond, offset_temp, s
+        )
+        x_comp = self._fuse(self.variables, heads, fref1, fref2)
+        res_temp = self._res_cond(self.variables, x_comp)
+        residues = self.res_coder.decompress(
+            res_streams, bitstream.z_shape, x_comp, res_temp, s
+        )
+        x_full = tuple(xc + r for xc, r in zip(x_comp, residues))
+        return self._recon(self.variables, *x_full)

@@ -13,8 +13,6 @@ codecs' /16 + /4 hyperprior geometry exactly.
 
 from __future__ import annotations
 
-from collections.abc import Callable, Sequence
-
 import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
@@ -233,18 +231,3 @@ class ResidualBottleneckBlock(nn.Module):
         return out + x
 
 
-class Sequential(nn.Module):
-    """Apply a list of layer factories in order (parity helper for the
-    reference's nn.Sequential transform definitions)."""
-
-    layers: Sequence[Callable]
-
-    @nn.compact
-    def __call__(self, x):
-        for layer in self.layers:
-            x = layer(x) if not isinstance(layer, nn.Module) else layer(x)
-        return x
-
-
-def lrelu(x):
-    return nn.leaky_relu(x)

@@ -40,11 +40,26 @@ class LHBDC(nn.Module):
         self.residual_compressor = ResidualCompressor(N=self.N)
         self.masknet = MaskUNet()
 
+    def _batched_flows(self, firsts, seconds):
+        """Run several flow estimations as ONE batched SPyNet pass (TPU: one
+        deep batch keeps the MXU busier than n sequential pyramids; the
+        reference runs 4 separate SPyNet calls per frame, m.py:38-47)."""
+        b = firsts[0].shape[0]
+        flow = self.flownet(
+            jnp.concatenate(firsts, axis=0), jnp.concatenate(seconds, axis=0)
+        )
+        return [
+            flow[i * b : (i + 1) * b] for i in range(len(firsts))
+        ]
+
     def motion_priors(self, x_before, x_after):
         """Half the ref<->ref flows at /4 res, padded to x64: the linear-motion
         priors for the current frame's flows (m.py:38-44)."""
-        flow_ba = avg_pool2d(self.flownet(x_before, x_after) / 2.0, 4)
-        flow_ab = avg_pool2d(self.flownet(x_after, x_before) / 2.0, 4)
+        f_ba, f_ab = self._batched_flows(
+            [x_before, x_after], [x_after, x_before]
+        )
+        flow_ba = avg_pool2d(f_ba / 2.0, 4)
+        flow_ab = avg_pool2d(f_ab / 2.0, 4)
         size = (flow_ba.shape[-3], flow_ba.shape[-2])
         flow_ba, _ = pad_to_multiple(flow_ba, 64)
         flow_ab, _ = pad_to_multiple(flow_ab, 64)
@@ -52,11 +67,31 @@ class LHBDC(nn.Module):
 
     def current_flows(self, x_current, x_before, x_after):
         """Current->ref flows at /4 res, padded to x64 (m.py:45-50)."""
-        flow_cb = avg_pool2d(self.flownet(x_current, x_before), 4)
-        flow_ca = avg_pool2d(self.flownet(x_current, x_after), 4)
+        f_cb, f_ca = self._batched_flows(
+            [x_current, x_current], [x_before, x_after]
+        )
+        flow_cb = avg_pool2d(f_cb, 4)
+        flow_ca = avg_pool2d(f_ca, 4)
         flow_cb, _ = pad_to_multiple(flow_cb, 64)
         flow_ca, _ = pad_to_multiple(flow_ca, 64)
         return flow_cb, flow_ca
+
+    def all_flows(self, x_before, x_current, x_after):
+        """All 4 flows in one batched SPyNet pass (forward-path fast route)."""
+        f_ba, f_ab, f_cb, f_ca = self._batched_flows(
+            [x_before, x_after, x_current, x_current],
+            [x_after, x_before, x_before, x_after],
+        )
+        size = None
+        flows = []
+        for f, halve in ((f_ba, True), (f_ab, True), (f_cb, False), (f_ca, False)):
+            g = avg_pool2d(f / 2.0 if halve else f, 4)
+            if size is None:
+                size = (g.shape[-3], g.shape[-2])
+            g, _ = pad_to_multiple(g, 64)
+            flows.append(g)
+        flow_ba, flow_ab, flow_cb, flow_ca = flows
+        return flow_ba, flow_ab, flow_cb, flow_ca, size
 
     def motion_compensate(self, x_before, x_after, flow_cb_hat, flow_ca_hat, size):
         """Crop + x4 upsample decoded flows, warp both refs, mask-blend."""
@@ -72,8 +107,9 @@ class LHBDC(nn.Module):
         num_pixels = B * H * W
         rngs = jax.random.split(rng, 2) if rng is not None else (None, None)
 
-        flow_ba, flow_ab, size = self.motion_priors(x_before, x_after)
-        flow_cb, flow_ca = self.current_flows(x_current, x_before, x_after)
+        flow_ba, flow_ab, flow_cb, flow_ca, size = self.all_flows(
+            x_before, x_current, x_after
+        )
 
         diff_flow = jnp.concatenate(
             [flow_cb - flow_ab, flow_ca - flow_ba], axis=-1

@@ -50,8 +50,22 @@ class MaskUNet(nn.Module):
         return nn.sigmoid(Conv(1, kernel=5)(x))
 
 
+def _avgpool2(x):
+    b, h, w, c = x.shape
+    return x.reshape(b, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
+
+
+def _lrelu(x):
+    return nn.leaky_relu(x, negative_slope=0.1)
+
+
 class UNet(nn.Module):
-    """Generic UNet with ``depth`` levels and widths 2**(wf+i)."""
+    """Tunable UNet with ``depth`` levels and widths 2**(wf+i).
+
+    Structure matches Flex-Rate.../b_model/unet.py:8-95: double-conv blocks
+    with leaky_relu(0.1), avg-pool downsampling, a mid conv, and up blocks of
+    bilinear x2 upsample + conv3x3 + skip concat + double conv; final 3x3.
+    """
 
     out_channels: int = 4
     depth: int = 5
@@ -59,19 +73,21 @@ class UNet(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        def conv_block(x, w):
+            x = _lrelu(Conv(w, kernel=3)(x))
+            return _lrelu(Conv(w, kernel=3)(x))
+
         skips = []
         for i in range(self.depth):
             w = 2 ** (self.wf + i)
-            x = nn.relu(Conv(w, kernel=3)(x))
-            x = nn.relu(Conv(w, kernel=3)(x))
+            x = conv_block(x, w)
             if i < self.depth - 1:
                 skips.append(x)
-                x = _maxpool2(x)
+                x = _avgpool2(x)
+        x = _lrelu(Conv(2 ** (self.wf + self.depth - 1), kernel=3)(x))
         for i in reversed(range(self.depth - 1)):
             w = 2 ** (self.wf + i)
-            x = _up2(x)
-            x = Conv(w, kernel=1)(x)
+            x = Conv(w, kernel=3)(_up2(x))
             x = jnp.concatenate([x, skips[i]], axis=-1)
-            x = nn.relu(Conv(w, kernel=3)(x))
-            x = nn.relu(Conv(w, kernel=3)(x))
-        return Conv(self.out_channels, kernel=1)(x)
+            x = conv_block(x, w)
+        return Conv(self.out_channels, kernel=3)(x)
