@@ -81,3 +81,41 @@ class TestPFrameDMC:
         g = jax.grad(loss)(variables["params"])
         total = sum(float(jnp.abs(l).sum()) for l in jax.tree.leaves(g))
         assert np.isfinite(total) and total > 0
+
+
+class TestPFrameSequence:
+    def test_low_delay_eval(self, dmc, rng):
+        import jax
+
+        from tpuvc.eval.pframe_runner import eval_pframe_sequence
+        from tpuvc.eval.results_io import PerFrameDiagnostics
+
+        model, variables = dmc
+        base = rng.random((1, 128, 128, 3), dtype=np.float32)
+        drift = 0.01 * rng.standard_normal((1, 128, 128, 3)).astype(np.float32)
+        frames = [
+            jnp.clip(jnp.asarray(base + i * drift), 0, 1) for i in range(5)
+        ]
+
+        def intra_fn(x):
+            return x, 1000.0
+
+        def pframe_fn(x, dpb, ratio):
+            out = model.apply(variables, x, dpb, ratio, "dequantize")
+            return out
+
+        def warp_pred_fn(x, ref, ratio):
+            return model.apply(
+                variables, x, ref, ratio, method=PFrameDMC.warp_prediction
+            )
+
+        diag = PerFrameDiagnostics()
+        psnrs, sizes = eval_pframe_sequence(
+            frames, 5, intra_fn, pframe_fn, warp_pred_fn,
+            crop_hw=(120, 120), ratios=(1.0, 2.0), diagnostics=diag,
+        )
+        assert len(psnrs) == 5
+        assert all(np.isfinite(p) for p in psnrs[1:])
+        assert len(diag.rows) == 5
+        assert diag.rows[1]["type"] == "P"
+        assert diag.rows[1]["down_ratio"] in (1.0, 2.0)

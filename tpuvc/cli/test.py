@@ -214,9 +214,17 @@ def main(argv=None):
     for level in cfg.levels:
         intra_fn, inter_fn = make_frame_fns(cfg, intra_pack, inter_pack, level)
         for seq, n_frames in cfg.dataset.sequences.items():
-            frames = SequenceFrames(
-                os.path.join(cfg.dataset.root, seq), n_frames
-            )
+            if cfg.dataset.name == "synthetic":
+                from tpuvc.data.uvg import SyntheticSequence
+
+                frames = SyntheticSequence(
+                    n_frames=n_frames, h=cfg.dataset.height,
+                    w=cfg.dataset.width,
+                )
+            else:
+                frames = SequenceFrames(
+                    os.path.join(cfg.dataset.root, seq), n_frames
+                )
             order, typ = get_order_typ_list(cfg.dataset.gop, len(frames))
 
             class _Device:
