@@ -68,9 +68,10 @@ def main():
         return forward(variables, r1, r2, xc)
 
     def one_gop():
-        # Level-batched GOP-8: 7 B-frames in 3 batched forwards (1, 2, 4).
+        # Level-batched GOP-8: 7 B-frames in 4 forwards (1, 2, 2, 2).
+        # max_batch=2 fits 1080p activations in the 16G HBM of one v5e.
         decoded, sizes = code_gop_batched(
-            frames, i_frames, table, inter_batched
+            frames, i_frames, table, inter_batched, max_batch=2
         )
         return sizes
 

@@ -17,7 +17,11 @@ import os
 
 def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--family", choices=["lhbdc", "flexrate"], default="lhbdc")
+    p.add_argument(
+        "--family",
+        choices=["lhbdc", "flexrate", "flowguided_b"],
+        default="lhbdc",
+    )
     p.add_argument("--ref_1", default="frames/ref_1.png")
     p.add_argument("--ref_2", default="frames/ref_2.png")
     p.add_argument("--bin", default="bits.bin")
@@ -38,7 +42,13 @@ def main(argv=None):
     from tpuvc.utils.checkpoint import load_checkpoint
 
     with open(args.bin, "rb") as f:
-        bits = BFrameBitstream.deserialize(f.read())
+        blob = f.read()
+    if args.family == "flowguided_b":
+        from tpuvc.coder.container import VFrameBitstream
+
+        bits = VFrameBitstream.deserialize(blob)
+    else:
+        bits = BFrameBitstream.deserialize(blob)
 
     x = jnp.zeros((1, 192, 192, 3), jnp.float32)
     if args.family == "lhbdc":
@@ -48,6 +58,15 @@ def main(argv=None):
         ckpt = f"compression_{bits.rate_id}.msgpack"
         init = lambda: model.init(jax.random.key(0), x, x, x, "dequantize")
         make = LHBDCCoder
+    elif args.family == "flowguided_b":
+        from tpuvc.models.flowguided_b import FlowGuidedB, FlowGuidedBCoder
+
+        model = FlowGuidedB()
+        ckpt = "flowguided_b.msgpack"
+        init = lambda: model.init(
+            jax.random.key(0), x, x, x, 0, 0.5, -0.5, 1, "dequantize"
+        )
+        make = FlowGuidedBCoder
     else:
         from tpuvc.models.flexrate import BidirFlowRef, FlexRateCoder
 

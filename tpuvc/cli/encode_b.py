@@ -18,7 +18,11 @@ import os
 
 def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--family", choices=["lhbdc", "flexrate"], default="lhbdc")
+    p.add_argument(
+        "--family",
+        choices=["lhbdc", "flexrate", "flowguided_b"],
+        default="lhbdc",
+    )
     p.add_argument("--ref_1", default="frames/ref_1.png")
     p.add_argument("--ref_2", default="frames/ref_2.png")
     p.add_argument("--current", default="frames/current.png")
@@ -29,6 +33,12 @@ def build_parser():
                    help="flexrate: gain level index")
     p.add_argument("--interp", type=float, default=1.0,
                    help="flexrate: fractional interpolation l in (0, 1]")
+    p.add_argument("--s", type=float, default=0.0,
+                   help="flowguided_b: rate level (fractional allowed)")
+    p.add_argument("--down_ratio", type=int, default=1,
+                   help="flowguided_b: motion-adaptive down ratio")
+    p.add_argument("--scale1", type=float, default=0.5)
+    p.add_argument("--scale2", type=float, default=-0.5)
     p.add_argument("--weights", default="pretrained_weights")
     p.add_argument("--init", choices=["load", "random"], default="load")
     p.add_argument("--N", type=int, default=128)
@@ -48,6 +58,14 @@ def load_model(args):
         model = LHBDC(N=args.N)
         ckpt = f"compression_{args.l}.msgpack"
         init = lambda: model.init(jax.random.key(0), x, x, x, "dequantize")
+    elif args.family == "flowguided_b":
+        from tpuvc.models.flowguided_b import FlowGuidedB
+
+        model = FlowGuidedB()
+        ckpt = "flowguided_b.msgpack"
+        init = lambda: model.init(
+            jax.random.key(0), x, x, x, 0, 0.5, -0.5, 1, "dequantize"
+        )
     else:
         from tpuvc.models.flexrate import BidirFlowRef
 
@@ -69,6 +87,10 @@ def make_coder(args, model, variables):
         from tpuvc.models.lhbdc import LHBDCCoder
 
         return LHBDCCoder(model, variables)
+    if args.family == "flowguided_b":
+        from tpuvc.models.flowguided_b import FlowGuidedBCoder
+
+        return FlowGuidedBCoder(model, variables)
     from tpuvc.models.flexrate import FlexRateCoder
 
     return FlexRateCoder(model, variables)
@@ -89,6 +111,12 @@ def main(argv=None):
         bits = coder.encode(
             jnp.asarray(x_before), jnp.asarray(x_current),
             jnp.asarray(x_after), rate_id=args.l,
+        )
+    elif args.family == "flowguided_b":
+        bits = coder.encode(
+            jnp.asarray(x_before), jnp.asarray(x_after),
+            jnp.asarray(x_current), s=args.s, scale1=args.scale1,
+            scale2=args.scale2, down_ratio=args.down_ratio,
         )
     else:
         bits = coder.encode(

@@ -26,6 +26,7 @@ def code_gop_batched(
     i_frames: dict[int, jnp.ndarray],
     table: GopTable,
     inter_fn_batched: Callable,
+    max_batch: int | None = None,
 ):
     """Code one GOP with level-batched B-frame forwards.
 
@@ -34,21 +35,33 @@ def code_gop_batched(
       i_frames: {0: decoded I, gop: decoded I} anchor reconstructions.
       inter_fn_batched(ref1 (B,H,W,3), ref2, xcur, frame_indices, ref_pairs)
         -> (x_hat (B,H,W,3), sizes (B,)).
+      max_batch: cap per-forward batch (HBM headroom at 1080p allows ~2;
+        deeper levels are chunked — still far fewer dispatches than
+        frame-by-frame).
 
     Returns ({frame_idx: decoded (1,H,W,3)}, {frame_idx: bits}).
     """
     decoded = dict(i_frames)
     sizes: dict[int, float] = {}
     for level_frames in table.frames_by_level():
-        refs = [table.refs[f] for f in level_frames]
-        ref1 = jnp.concatenate([decoded[a] for a, _ in refs], axis=0)
-        ref2 = jnp.concatenate([decoded[b] for _, b in refs], axis=0)
-        xcur = jnp.concatenate([frames[f] for f in level_frames], axis=0)
-        x_hat, level_sizes = inter_fn_batched(
-            ref1, ref2, xcur, tuple(level_frames), tuple(refs)
+        chunks = (
+            [level_frames]
+            if max_batch is None
+            else [
+                level_frames[i : i + max_batch]
+                for i in range(0, len(level_frames), max_batch)
+            ]
         )
-        x_hat = jnp.clip(x_hat, 0.0, 1.0)
-        for i, f in enumerate(level_frames):
-            decoded[f] = x_hat[i : i + 1]
-            sizes[f] = float(level_sizes[i])
+        for chunk in chunks:
+            refs = [table.refs[f] for f in chunk]
+            ref1 = jnp.concatenate([decoded[a] for a, _ in refs], axis=0)
+            ref2 = jnp.concatenate([decoded[b] for _, b in refs], axis=0)
+            xcur = jnp.concatenate([frames[f] for f in chunk], axis=0)
+            x_hat, level_sizes = inter_fn_batched(
+                ref1, ref2, xcur, tuple(chunk), tuple(refs)
+            )
+            x_hat = jnp.clip(x_hat, 0.0, 1.0)
+            for i, f in enumerate(chunk):
+                decoded[f] = x_hat[i : i + 1]
+                sizes[f] = float(level_sizes[i])
     return decoded, sizes
