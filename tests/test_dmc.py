@@ -119,3 +119,29 @@ class TestPFrameSequence:
         assert len(diag.rows) == 5
         assert diag.rows[1]["type"] == "P"
         assert diag.rows[1]["down_ratio"] in (1.0, 2.0)
+
+
+class TestDMCRateLevels:
+    def test_q_changes_rate(self, dmc, rng):
+        model, variables = dmc
+        ref, x = _pair(rng)
+        dpb = {"ref_frame": ref, "ref_feature": None, "ref_down_ratio": 1.0}
+        # Spread the gains so levels differ even untrained.
+        p = variables["params"]
+        for coder in ("mv_coder", "y_coder"):
+            g = np.ones((4, 32), np.float32)
+            for i in range(4):
+                g[i] *= 2.0**i
+            p[coder]["gain"] = jnp.asarray(g)
+        sizes = []
+        for q in (0.0, 2.0):
+            out = model.apply(variables, x, dpb, 1.0, "dequantize", q=q)
+            sizes.append(float(out["bits"]))
+        assert sizes[1] > sizes[0]
+
+    def test_fractional_q(self, dmc, rng):
+        model, variables = dmc
+        ref, x = _pair(rng)
+        dpb = {"ref_frame": ref, "ref_feature": None, "ref_down_ratio": 1.0}
+        out = model.apply(variables, x, dpb, 1.0, "dequantize", q=1.5)
+        assert np.isfinite(float(out["bits"]))

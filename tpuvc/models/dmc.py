@@ -43,9 +43,12 @@ def resize_antialias(x, out_h: int, out_w: int):
 
 
 class _HyperCoder(nn.Module):
-    """Small mean-scale hyperprior over an existing latent y."""
+    """Small mean-scale hyperprior over an existing latent y, with per-level
+    gain vectors (the q_index analog of DCVC-FM: one model, many rates;
+    geometric interpolation over a traced fractional level)."""
 
     N: int
+    levels: int = 4
 
     def setup(self):
         self.h_a1 = Conv(self.N, kernel=3, stride=1)
@@ -56,9 +59,20 @@ class _HyperCoder(nn.Module):
         self.h_s3 = Conv(self.N * 2, kernel=3, stride=1)
         self.entropy_bottleneck = FactorizedBottleneck(channels=self.N)
         self.gaussian = GaussianConditional()
+        ones = lambda rng, shape: jnp.ones(shape, jnp.float32)
+        self.gain = self.param("gain", ones, (self.levels, self.N))
+        self.inv_gain = self.param("inv_gain", ones, (self.levels, self.N))
 
-    def __call__(self, y, mode, rng=None):
+    def _interp(self, g, q):
+        q = jnp.clip(jnp.asarray(q, jnp.float32), 0.0, self.levels - 1.0)
+        hi = jnp.clip(jnp.ceil(q), 0, self.levels - 1).astype(jnp.int32)
+        lo = jnp.clip(jnp.floor(q), 0, self.levels - 1).astype(jnp.int32)
+        l = hi.astype(jnp.float32) - q
+        return jnp.abs(g[hi]) ** (1.0 - l) * jnp.abs(g[lo]) ** l
+
+    def __call__(self, y, mode, rng=None, q=0.0):
         rngs = jax.random.split(rng, 2) if rng is not None else (None, None)
+        y = y * self._interp(self.gain, q)
         z = self.h_a3(nn.relu(self.h_a2(nn.relu(self.h_a1(y)))))
         z_hat, z_lik = self.entropy_bottleneck(z, mode, rng=rngs[0])
         p = self.h_s3(nn.relu(self.h_s2(nn.relu(self.h_s1(z_hat)))))
@@ -66,6 +80,7 @@ class _HyperCoder(nn.Module):
         y_hat, y_lik = self.gaussian(
             y, scales, means=means, mode=mode, rng=rngs[1]
         )
+        y_hat = y_hat * self._interp(self.inv_gain, q)
         return y_hat, {"y": y_lik, "z": z_lik}
 
     def aux_loss(self):
@@ -149,11 +164,11 @@ class PFrameDMC(nn.Module):
         # Magnitude scale W/w is the ratio actually realized by the resize.
         return bilinear_resize(mv, H, W) * (W / w)
 
-    def code_mv(self, mv_scaled, mode, rng):
+    def code_mv(self, mv_scaled, mode, rng, q=0.0):
         y = mv_scaled
         for i, l in enumerate(self.mv_g_a):
             y = l(y) if i == len(self.mv_g_a) - 1 else nn.leaky_relu(l(y))
-        y_hat, lik = self.mv_coder(y, mode, rng)
+        y_hat, lik = self.mv_coder(y, mode, rng, q=q)
         x = y_hat
         for i, l in enumerate(self.mv_g_s):
             x = l(x) if i == len(self.mv_g_s) - 1 else nn.leaky_relu(l(x))
@@ -181,11 +196,11 @@ class PFrameDMC(nn.Module):
 
     # --- conditional coding ---
 
-    def code_frame(self, x, context, mode, rng):
+    def code_frame(self, x, context, mode, rng, q=0.0):
         y = jnp.concatenate([x, context], axis=-1)
         for l in self.g_a_layers:
             y = l(y)
-        y_hat, lik = self.y_coder(y, mode, rng)
+        y_hat, lik = self.y_coder(y, mode, rng, q=q)
         f = y_hat
         for l in self.g_s_layers:
             f = l(f)
@@ -196,11 +211,13 @@ class PFrameDMC(nn.Module):
         return x_hat, f, lik
 
     def __call__(self, x, dpb: dict, ratio: float = 1.0, mode: str = "ste",
-                 rng=None):
+                 rng=None, q=0.0):
         """Code one P-frame against the DPB.
 
         dpb: {"ref_frame": (B,H,W,3), "ref_feature": (B,H,W,feat) | None,
               "ref_down_ratio": float}.
+        q: rate level (fractional allowed; gain-vector interpolation — the
+        q_index analog of DCVC-FM).
         Returns dict with x_hat, bits, rate, and the updated dpb.
         """
         B, H, W, _ = x.shape
@@ -209,13 +226,13 @@ class PFrameDMC(nn.Module):
         est_mv = self.estimate_mv(x, ref_frame, ratio)
 
         # OJSP MV scaling: code est_mv / ratio, decode mv_hat * ratio.
-        mv_hat, mv_lik = self.code_mv(est_mv / ratio, mode, rngs[0])
+        mv_hat, mv_lik = self.code_mv(est_mv / ratio, mode, rngs[0], q=q)
         mv_hat = mv_hat * ratio
 
         context, warped_x = self.motion_compensate(
             ref_frame, dpb.get("ref_feature"), mv_hat
         )
-        x_hat, feature, y_lik = self.code_frame(x, context, mode, rngs[1])
+        x_hat, feature, y_lik = self.code_frame(x, context, mode, rngs[1], q=q)
 
         bits = sum(likelihood_to_bits(l) for l in mv_lik.values()) + sum(
             likelihood_to_bits(l) for l in y_lik.values()
