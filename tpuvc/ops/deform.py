@@ -46,7 +46,7 @@ def _warp_zero_pad(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
         yc = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
         idx = (yc * W + xc).reshape(B, H * W, 1)
         v = jnp.take_along_axis(
-            img.reshape(B, H * W, C), idx, axis=1
+            img.reshape(B, H * W, C), idx, axis=1, mode="promise_in_bounds"
         ).reshape(B, H, W, C)
         return v * (w * valid)[..., None]
 
