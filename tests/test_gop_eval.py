@@ -191,3 +191,29 @@ class TestResultsIO:
         p = d.write(str(tmp_path / "diag.csv"))
         rows = open(p).read().strip().splitlines()
         assert len(rows) == 3 and rows[0].startswith("frame,")
+
+
+class TestSequenceOrderFromTable:
+    def test_gop8_sequence(self):
+        from tpuvc.gop.order import sequence_order_from_table
+
+        order, typ = sequence_order_from_table(8, 25)
+        assert sorted(order) == list(range(25))
+        assert typ[0] == "I" and typ[8] == "I" and typ[16] == "I"
+        assert typ[24] == "I" and typ[5] == "B"
+        # Every B-frame appears after both dyadic anchors of its GOP.
+        pos = {f: i for i, f in enumerate(order)}
+        from tpuvc.gop.order import gop_coding_table
+
+        t = gop_coding_table(8)
+        for start in (0, 8, 16):
+            for f, (a, b) in t.refs.items():
+                assert pos[start + a] < pos[start + f]
+                assert pos[start + b] < pos[start + f]
+
+    def test_partial_tail(self):
+        from tpuvc.gop.order import sequence_order_from_table
+
+        order, typ = sequence_order_from_table(8, 21)
+        assert sorted(order) == list(range(21))
+        assert typ[-1] == "I"

@@ -190,7 +190,7 @@ def main(argv=None):
     from tpuvc.data.uvg import SequenceFrames
     from tpuvc.eval.infographic import TestInfographic
     from tpuvc.eval.runner import eval_sequence
-    from tpuvc.gop.order import get_order_typ_list
+    from tpuvc.gop.order import get_order_typ_list, sequence_order_from_table
 
     os.makedirs(cfg.output_dir, exist_ok=True)
     intra_pack, inter_pack = build_models(cfg, cfg.seed)
@@ -225,7 +225,13 @@ def main(argv=None):
                 frames = SequenceFrames(
                     os.path.join(cfg.dataset.root, seq), n_frames
                 )
-            order, typ = get_order_typ_list(cfg.dataset.gop, len(frames))
+            if cfg.dataset.gop == 16:
+                order, typ = get_order_typ_list(16, len(frames))
+            else:
+                # LHBDC-era protocol: static dyadic tables tiled per GOP.
+                order, typ = sequence_order_from_table(
+                    cfg.dataset.gop, len(frames)
+                )
 
             class _Device:
                 """Lazy host->device frame access: 600 x 1080p frames must

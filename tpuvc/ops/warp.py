@@ -53,32 +53,39 @@ def warp(img: jnp.ndarray, flow: jnp.ndarray, compat: str = "exact") -> jnp.ndar
     x = jnp.clip(xs[None, None, :] + flow[..., 0] * sx, 0.0, W - 1.0)
     y = jnp.clip(ys[None, :, None] + flow[..., 1] * sy, 0.0, H - 1.0)
 
-    # One gather per output pixel fetching the whole 2x2xC patch (measured
-    # ~35% faster at 1080p than four flattened element gathers, and the
-    # in-bounds promise removes XLA's bounds-select). Anchoring x0 <= W-2
-    # keeps the patch in bounds; the clipped fractional weight reproduces
-    # exact border-clamp sampling (at x = W-1: x0 = W-2, fx = 1).
-    x0i = jnp.minimum(jnp.floor(x).astype(jnp.int32), W - 2)
-    y0i = jnp.minimum(jnp.floor(y).astype(jnp.int32), H - 2)
-    fx = jnp.clip(x - x0i.astype(x.dtype), 0.0, 1.0)[..., None]
-    fy = jnp.clip(y - y0i.astype(y.dtype), 0.0, 1.0)[..., None]
+    # Four flattened element gathers with an in-bounds promise (indices are
+    # clipped above), ~20% faster than bounds-checked gathers at 1080p.
+    # (A single 2x2xC-patch gather is ~12% faster still per warp, but its
+    # (..., 2, 2, C) result tiles to ~170x padded VMEM/HBM buffers on TPU
+    # and OOMs the full-codec graph — measured, not worth it.)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    x1i = jnp.minimum(x0i + 1, W - 1)
+    y1i = jnp.minimum(y0i + 1, H - 1)
 
-    starts = jnp.stack([y0i, x0i], axis=-1).reshape(B, H * W, 2)
-    dn = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1, 2, 3),
-        collapsed_slice_dims=(),
-        start_index_map=(0, 1),
+    flat = img.reshape(B, H * W, C)
+
+    def gather(yi, xi):
+        idx = (yi * W + xi).reshape(B, H * W, 1)
+        return jnp.take_along_axis(
+            flat, idx, axis=1, mode="promise_in_bounds"
+        ).reshape(B, H, W, C)
+
+    w00 = ((1.0 - fy) * (1.0 - fx))[..., None]
+    w01 = ((1.0 - fy) * fx)[..., None]
+    w10 = (fy * (1.0 - fx))[..., None]
+    w11 = (fy * fx)[..., None]
+
+    return (
+        w00 * gather(y0i, x0i)
+        + w01 * gather(y0i, x1i)
+        + w10 * gather(y1i, x0i)
+        + w11 * gather(y1i, x1i)
     )
-
-    def per_example(im, st):
-        return jax.lax.gather(
-            im, st, dn, slice_sizes=(2, 2, C), mode="promise_in_bounds"
-        )
-
-    patch = jax.vmap(per_example)(img, starts).reshape(B, H, W, 2, 2, C)
-    top = patch[..., 0, 0, :] * (1.0 - fx) + patch[..., 0, 1, :] * fx
-    bot = patch[..., 1, 0, :] * (1.0 - fx) + patch[..., 1, 1, :] * fx
-    return top * (1.0 - fy) + bot * fy
 
 
 def warp_and_blend(
