@@ -39,6 +39,7 @@ def main():
     import numpy as np
 
     from tpuvc.models.lhbdc import LHBDC
+    from tpuvc.ops.precision import mixed_precision
 
     model = LHBDC(N=128)
     h, w = 1088, 1920  # 1080p padded to x64
@@ -56,7 +57,9 @@ def main():
 
     @jax.jit
     def forward(v, r1, r2, xc):
-        out = model.apply(v, r1, xc, r2, "dequantize")
+        # bf16 layer compute, f32 flow/warp/entropy math (tpuvc.ops.precision)
+        with mixed_precision():
+            out = model.apply(v, r1, xc, r2, "dequantize")
         return out["x_hat"], out["sizes"]
 
     # Throughput measurement: a stream of independent B-frame evaluations

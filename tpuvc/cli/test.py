@@ -185,12 +185,7 @@ def main(argv=None):
 
     enable_cache()
 
-    import jax.numpy as jnp
-
-    from tpuvc.data.uvg import SequenceFrames
     from tpuvc.eval.infographic import TestInfographic
-    from tpuvc.eval.runner import eval_sequence
-    from tpuvc.gop.order import get_order_typ_list, sequence_order_from_table
 
     os.makedirs(cfg.output_dir, exist_ok=True)
     intra_pack, inter_pack = build_models(cfg, cfg.seed)
@@ -210,7 +205,23 @@ def main(argv=None):
 
     info = TestInfographic()
 
+    from tpuvc.ops.precision import policy_from_name
+
     t0 = time.perf_counter()
+    with policy_from_name(cfg.compute_dtype):
+        _run_levels(cfg, intra_pack, inter_pack, info)
+    out = info.results_csv(os.path.join(cfg.output_dir, cfg.results_csv))
+    print(out.to_string(index=False))
+    print(f"elapsed {time.perf_counter() - t0:.1f}s")
+
+
+def _run_levels(cfg, intra_pack, inter_pack, info):
+    import jax.numpy as jnp
+
+    from tpuvc.data.uvg import SequenceFrames
+    from tpuvc.eval.runner import eval_sequence
+    from tpuvc.gop.order import get_order_typ_list, sequence_order_from_table
+
     for level in cfg.levels:
         intra_fn, inter_fn = make_frame_fns(cfg, intra_pack, inter_pack, level)
         for seq, n_frames in cfg.dataset.sequences.items():
@@ -249,9 +260,6 @@ def main(argv=None):
                 f"{sum(psnrs)/len(psnrs):.2f} bpp "
                 f"{sum(sizes)/len(sizes)/(frames.size[0]*frames.size[1]):.4f}"
             )
-    out = info.results_csv(os.path.join(cfg.output_dir, cfg.results_csv))
-    print(out.to_string(index=False))
-    print(f"elapsed {time.perf_counter() - t0:.1f}s")
 
 
 if __name__ == "__main__":

@@ -227,6 +227,8 @@ def main(argv=None):
         opt_state = replicate(mesh, opt_state)
         log.info("data-parallel over %d devices", n_dev)
 
+    from tpuvc.ops.precision import policy_from_name
+
     t0 = time.perf_counter()
     for it in range(start_step, cfg.total_steps):
         batch = jnp.asarray(next(batches))
@@ -235,7 +237,10 @@ def main(argv=None):
 
             batch = shard_batch(mesh, batch)
         key = jax.random.fold_in(jax.random.key(cfg.seed + 1), it)
-        params, opt_state, metrics = run_step(params, opt_state, batch, key, it)
+        with policy_from_name(cfg.compute_dtype):
+            params, opt_state, metrics = run_step(
+                params, opt_state, batch, key, it
+            )
         if it % 100 == 0:
             m = {k: float(v) for k, v in metrics.items()}
             rate = (it + 1 - start_step) / (time.perf_counter() - t0)

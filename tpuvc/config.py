@@ -59,6 +59,8 @@ class TestConfig:
     adaptive_down_ratio: bool = True
     device_count: int = 1
     output_dir: str = "outputs"
+    #: "float32" | "bfloat16": layer compute dtype (tpuvc.ops.precision).
+    compute_dtype: str = "float32"
 
 
 @dataclass
@@ -76,6 +78,8 @@ class TrainConfig:
     val_every: int = 10_000
     seed: int = 0
     checkpoint_dir: str = "checkpoints"
+    #: "float32" | "bfloat16": layer compute dtype (tpuvc.ops.precision).
+    compute_dtype: str = "float32"
 
 
 def apply_overrides(cfg, overrides: list[str]):

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpuvc.entropy.emath import lower_bound
+from tpuvc.ops import precision
 from tpuvc.ops.resample import pixel_shuffle
 
 
@@ -37,13 +38,18 @@ class Conv(nn.Module):
             kw = dict(
                 kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros
             )
-        return nn.Conv(
+        dt = precision.compute_dtype()
+        y = nn.Conv(
             self.features,
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
             padding=[(p, p), (p, p)],
+            dtype=dt,
             **kw,
-        )(x)
+        )(x if dt is None else x.astype(dt))
+        # Cast back so flow/entropy math between convs stays float32
+        # (tpuvc.ops.precision policy; XLA fuses the casts into the conv).
+        return y if dt is None else y.astype(x.dtype)
 
 
 class Deconv(nn.Module):
@@ -55,12 +61,15 @@ class Deconv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.ConvTranspose(
+        dt = precision.compute_dtype()
+        y = nn.ConvTranspose(
             self.features,
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
             padding="SAME",
-        )(x)
+            dtype=dt,
+        )(x if dt is None else x.astype(dt))
+        return y if dt is None else y.astype(x.dtype)
 
 
 def conv3x3(features: int, stride: int = 1) -> Conv:
@@ -122,8 +131,19 @@ class GDN(nn.Module):
         )
         beta = lower_bound(beta_raw, float(np.sqrt(self.beta_min + ped))) ** 2 - ped
         gamma = lower_bound(gamma_raw, self.offset) ** 2 - ped
-        # Channel mixing of x^2: one MXU matmul per call.
-        norm = jnp.einsum("...c,dc->...d", x * x, gamma) + beta
+        # Channel mixing of x^2: one MXU matmul per call (policy dtype for
+        # the contraction, float32 accumulate/output).
+        dt = precision.compute_dtype()
+        x2 = x * x
+        if dt is not None:
+            x2 = x2.astype(dt)
+            gamma = gamma.astype(dt)
+        norm = (
+            jnp.einsum(
+                "...c,dc->...d", x2, gamma, preferred_element_type=jnp.float32
+            )
+            + beta
+        )
         norm = jnp.sqrt(norm)
         return x * norm if self.inverse else x / norm
 

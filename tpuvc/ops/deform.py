@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tpuvc.ops import precision
+
 
 def _warp_zero_pad(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     """Bilinear sample with zero padding outside (torchvision deform conv
@@ -115,8 +117,13 @@ def deform_conv2d(
         if masks is not None:
             sampled = sampled * m[..., k][..., None]
         sampled = sampled.reshape(B, G, H, W, Cg)
+        dt = precision.compute_dtype()
+        wt = wk[k]
+        if dt is not None:  # MXU contraction in policy dtype, f32 accumulate
+            sampled = sampled.astype(dt)
+            wt = wt.astype(dt)
         acc = acc + jnp.einsum(
-            "bghwc,cgo->bghwo", sampled, wk[k],
+            "bghwc,cgo->bghwo", sampled, wt,
             preferred_element_type=x.dtype,
         )
     out = jnp.moveaxis(acc, 1, -2).reshape(B, H, W, C_out)
