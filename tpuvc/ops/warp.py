@@ -19,8 +19,24 @@ the v1 warp so the LHBDC codec family keeps its training-time behavior.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+
+def _use_pallas(img: jnp.ndarray) -> bool:
+    """Route large-frame, few-channel warps to the Pallas band kernel on
+    TPU backends (tpuvc.ops.warp_pallas); everything else stays on the XLA
+    gather path. TPUVC_WARP=xla|pallas overrides."""
+    mode = os.environ.get("TPUVC_WARP", "auto")
+    if mode == "xla":
+        return False
+    B, H, W, C = img.shape
+    eligible = C <= 8 and H * W >= 128 * 256 and img.dtype == jnp.float32
+    if mode == "pallas":
+        return eligible
+    return eligible and jax.default_backend() in ("tpu", "axon")
 
 
 def warp(img: jnp.ndarray, flow: jnp.ndarray, compat: str = "exact") -> jnp.ndarray:
@@ -46,6 +62,11 @@ def warp(img: jnp.ndarray, flow: jnp.ndarray, compat: str = "exact") -> jnp.ndar
         sx = sy = 1.0
     else:
         raise ValueError(f"unknown warp compat mode: {compat}")
+
+    if _use_pallas(img):
+        from tpuvc.ops.warp_pallas import warp_pallas
+
+        return warp_pallas(img, flow, sx, sy)
 
     # Sample coordinates in pixel space, clamped to the frame (border padding).
     xs = jnp.arange(W, dtype=flow.dtype)
