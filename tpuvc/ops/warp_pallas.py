@@ -320,7 +320,7 @@ def _warp_pallas_nhwc(img3, dx, dy, ch: int, interpret: bool = False):
                 (1, BAND_ROWS, W), lambda b, n: (b, n, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
