@@ -134,3 +134,30 @@ def test_routing_flag(monkeypatch):
     assert warp_mod._use_pallas(img)
     # small frames never route to the kernel
     assert not warp_mod._use_pallas(_frames(1, 32, 32, 3))
+
+
+def test_zero_pad_sampling_matches_xla():
+    """The deformable conv's Pallas tap-sampling (1-px zero ring trick)
+    must match the XLA zero-padding sampler exactly."""
+    from tpuvc.ops.deform import _warp_zero_pad, _warp_zero_pallas
+
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.random((2, 48, 128, 4), np.float32))
+    fl = jnp.asarray(
+        (rng.random((2, 48, 128, 2), np.float32) - 0.5) * 8.0
+        + np.asarray([30.0, -9.0], np.float32)  # partly out of frame
+    )
+    out_k = _warp_zero_pallas(img, fl, interpret=True)
+    out_x = _warp_zero_pad(img, fl)
+    np.testing.assert_allclose(out_k, out_x, atol=ATOL)
+
+
+def test_zero_pad_sampling_channel_chunking():
+    from tpuvc.ops.deform import _warp_zero_pad, _warp_zero_pallas
+
+    rng = np.random.default_rng(8)
+    img = jnp.asarray(rng.random((1, 48, 128, 12), np.float32))  # > cap 8
+    fl = jnp.full((1, 48, 128, 2), -3.3, jnp.float32)
+    out_k = _warp_zero_pallas(img, fl, interpret=True)
+    out_x = _warp_zero_pad(img, fl)
+    np.testing.assert_allclose(out_k, out_x, atol=ATOL)

@@ -65,29 +65,23 @@ MAX_CHANNELS = 8  # NHWC kernel channel cap (VMEM window size)
 
 def _deinterleave_matrix(ch: int, c: int):
     """One-hot (ch*TILE_L, TILE_L) P with P[l, x] = 1 iff l == ch*x + c:
-    win_c_tile = win_i_slab @ P. Static permutations ride the MXU."""
-    import numpy as np
-
-    P = np.zeros((ch * TILE_L, TILE_L), np.float32)
-    P[ch * np.arange(TILE_L) + c, np.arange(TILE_L)] = 1.0
-    return jnp.asarray(P)
+    win_c_tile = win_i_slab @ P. Built in-kernel from iota compares (a few
+    vector ops) so no VMEM is spent on constants."""
+    li = jax.lax.broadcasted_iota(jnp.int32, (ch * TILE_L, TILE_L), 0)
+    xi = jax.lax.broadcasted_iota(jnp.int32, (ch * TILE_L, TILE_L), 1)
+    return (li == ch * xi + c).astype(jnp.float32)
 
 
 def _interleave_matrix(ch: int, c: int, T: int, slab_start: int, sw: int):
     """One-hot (sw, TILE_L) Q with Q[x - slab_start, l] = 1 iff output
     lane l of tile T belongs to channel c and reads source column x:
-    out_tile += res_slab @ Q. Only (c, T % ch, shift) distinct patterns
-    exist — callers should cache on that key."""
-    import numpy as np
-
-    Q = np.zeros((sw, TILE_L), np.float32)
-    for l in range(TILE_L):
-        gl = T * TILE_L + l
-        if gl % ch == c:
-            x = gl // ch - slab_start
-            if 0 <= x < sw:
-                Q[x, l] = 1.0
-    return jnp.asarray(Q)
+    out_tile += res_slab @ Q. Built in-kernel from iota compares."""
+    xl = jax.lax.broadcasted_iota(jnp.int32, (sw, TILE_L), 0)
+    li = jax.lax.broadcasted_iota(jnp.int32, (sw, TILE_L), 1)
+    gl = T * TILE_L + li
+    return ((gl % ch == c) & (gl // ch - slab_start == xl)).astype(
+        jnp.float32
+    )
 
 
 def _lane_gather(rows: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -110,12 +104,9 @@ def _warp_band_kernel(
     w: int,
     ch: int,
     rw: int,
-    q_index: dict,
     dx_ref,
     dy_ref,
     img_hbm,
-    p_ref,
-    q_ref,
     out_ref,
     win_i,
     win_c,
@@ -197,7 +188,7 @@ def _warp_band_kernel(
     for c in range(ch):
         # --- de-interleave channel c: win_c[r, x] = win_i[r, x*ch + c] ---
         # One MXU one-hot matmul per lane tile (static permutation).
-        P = p_ref[c * ch * TILE_L : (c + 1) * ch * TILE_L, :]
+        P = _deinterleave_matrix(ch, c)
         for tl in range(n_l):
             slab = win_i[:, ch * tl * TILE_L : ch * (tl + 1) * TILE_L]
             win_c[:, tl * TILE_L : (tl + 1) * TILE_L] = jnp.dot(
@@ -260,9 +251,7 @@ def _warp_band_kernel(
         t_lo = min((T * TILE_L) // ch // TILE_L, max(n_l - 2, 0))
         acc = jnp.zeros((BAND_ROWS, TILE_L), jnp.float32)
         for c in range(ch):
-            key = (c, T % ch, (T * TILE_L) // ch - t_lo * TILE_L)
-            qi = q_index[key]
-            Q = q_ref[qi * sw : (qi + 1) * sw, :]
+            Q = _interleave_matrix(ch, c, T, t_lo * TILE_L, sw)
             slab = res_s[
                 c * BAND_ROWS : (c + 1) * BAND_ROWS,
                 t_lo * TILE_L : t_lo * TILE_L + sw,
@@ -286,28 +275,7 @@ def _warp_pallas_nhwc(img3, dx, dy, ch: int, interpret: bool = False):
     W = WC // ch
     rw = min(ROWS_WINDOW, H)
     n_bands = H // BAND_ROWS
-    n_l = W // TILE_L
-
-    # Static one-hot permutation matrices (dedup'd; passed as inputs since
-    # Pallas kernels cannot capture array constants).
-    p_cat = jnp.concatenate(
-        [_deinterleave_matrix(ch, c) for c in range(ch)], axis=0
-    )
-    sw = min(2 * TILE_L, W)
-    q_index: dict = {}
-    q_mats = []
-    for T in range(WC // TILE_L):
-        t_lo = min((T * TILE_L) // ch // TILE_L, max(n_l - 2, 0))
-        for c in range(ch):
-            key = (c, T % ch, (T * TILE_L) // ch - t_lo * TILE_L)
-            if key not in q_index:
-                q_index[key] = len(q_mats)
-                q_mats.append(
-                    _interleave_matrix(ch, c, T, t_lo * TILE_L, sw)
-                )
-    q_cat = jnp.concatenate(q_mats, axis=0)
-
-    kernel = functools.partial(_warp_band_kernel, H, W, ch, rw, q_index)
+    kernel = functools.partial(_warp_band_kernel, H, W, ch, rw)
     return pl.pallas_call(
         kernel,
         grid=(B, n_bands),
@@ -321,8 +289,6 @@ def _warp_pallas_nhwc(img3, dx, dy, ch: int, interpret: bool = False):
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, BAND_ROWS, WC), lambda b, n: (b, n, 0),
@@ -343,7 +309,7 @@ def _warp_pallas_nhwc(img3, dx, dy, ch: int, interpret: bool = False):
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(dx, dy, img3, p_cat, q_cat)
+    )(dx, dy, img3)
 
 
 def _warp_xla(img, flow, sx: float, sy: float):
