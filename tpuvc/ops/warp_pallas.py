@@ -151,9 +151,10 @@ def _warp_band_kernel(
     # wrapper edge-pads 8 replica rows above the first real row.
     r_lo = jnp.clip((jnp.min(y0i) // 8) * 8 - 8, 0, max(h - rw, 0))
     rlo_s[0] = r_lo
-    # Cap keeps every diagonal slab load (start + TILE_S rows) inside the
-    # window: max load row = max(rr - s) + TILE_S <= rw - 1.
-    rr = jnp.clip(y0i - r_lo, 0, rw - TILE_S - 1)
+    # Cap keeps every diagonal slab load (start + TILE_S rows, plus the
+    # carried slab's one-row prefetch) inside the window:
+    # max load row = max(rr - s) + TILE_S + 1 <= rw - 1.
+    rr = jnp.clip(y0i - r_lo, 0, rw - TILE_S - 2)
 
     # Per-band quantized horizontal offset (lane-dim windows must be
     # 128-aligned); the 384-px local window leaves >=126 px of dx spread.
@@ -171,7 +172,7 @@ def _warp_band_kernel(
     s_iota = jax.lax.broadcasted_iota(jnp.int32, (TILE_S, w), 0)
     for g in range(n_s):
         rr_g = rr[g * TILE_S : (g + 1) * TILE_S, :] - s_iota
-        ry_g = jnp.clip(jnp.min(rr_g), 0, rw - TILE_S - 1)
+        ry_g = jnp.clip(jnp.min(rr_g), 0, rw - TILE_S - 2)
         rys_s[g] = ry_g
         jhi_s[g] = jnp.minimum(jnp.max(rr_g) - ry_g + 2, lh)
         rloc_s[g * TILE_S : (g + 1) * TILE_S, :] = jnp.clip(
@@ -209,36 +210,59 @@ def _warp_band_kernel(
             fx_g = fx_s[rsl, :]
             fy_g = fy_s[rsl, :]
 
-            def j_body(j, accs, ry=ry, rloc=rloc, xloc=xloc, fx_g=fx_g):
-                a0, a1 = accs
+            def tile_rx(tl):
+                return pl.multiple_of(
+                    jnp.clip(tl * TILE_L + qdx, 0, w - lw), TILE_L
+                )
+
+            # Diagonal slab per tile: output row s reads window row ry+j+s
+            # (its own sublane). Multi-row loads need 8-aligned dynamic
+            # sublane starts, so slabs are built from single-row loads ONCE
+            # and then carried through the j loop with a one-row shift —
+            # one new row load per tile per iteration.
+            init_slabs = tuple(
+                jnp.concatenate(
+                    [
+                        win_c[pl.ds(ry + s, 1), pl.ds(tile_rx(tl), lw)]
+                        for s in range(TILE_S)
+                    ],
+                    axis=0,
+                )
+                for tl in range(n_l)
+            )
+
+            def j_body(j, carry, ry=ry, rloc=rloc, xloc=xloc, fx_g=fx_g):
+                a0, a1 = carry[0], carry[1]
+                slabs = carry[2]
                 c_parts = []
+                new_slabs = []
                 for tl in range(n_l):
                     lsl = slice(tl * TILE_L, (tl + 1) * TILE_L)
-                    rx = pl.multiple_of(
-                        jnp.clip(tl * TILE_L + qdx, 0, w - lw), TILE_L
-                    )
-                    # Diagonal slab: output row s reads window row ry+j+s
-                    # (its own sublane). Multi-row loads need 8-aligned
-                    # dynamic sublane starts, so stack single-row loads.
-                    slab = jnp.concatenate(
-                        [
-                            win_c[pl.ds(ry + j + s, 1), pl.ds(rx, lw)]
-                            for s in range(TILE_S)
-                        ],
-                        axis=0,
-                    )
+                    slab = slabs[tl]
                     xl = xloc[:, lsl]
                     g0 = _lane_gather(slab, xl)
                     g1 = _lane_gather(slab, xl + 1)
                     fx_t = fx_g[:, lsl]
                     c_parts.append((1.0 - fx_t) * g0 + fx_t * g1)
+                    row_new = win_c[
+                        pl.ds(ry + j + TILE_S, 1), pl.ds(tile_rx(tl), lw)
+                    ]
+                    new_slabs.append(
+                        jnp.concatenate([slab[1:], row_new], axis=0)
+                    )
                 c_row = jnp.concatenate(c_parts, axis=1)
                 m0 = (rloc == j).astype(jnp.float32)
                 m1 = (rloc == j - 1).astype(jnp.float32)
-                return a0 + m0 * c_row, a1 + m1 * c_row
+                return (
+                    a0 + m0 * c_row,
+                    a1 + m1 * c_row,
+                    tuple(new_slabs),
+                )
 
             zero = jnp.zeros((TILE_S, w), jnp.float32)
-            a0, a1 = jax.lax.fori_loop(0, jhi_s[g], j_body, (zero, zero))
+            a0, a1, _ = jax.lax.fori_loop(
+                0, jhi_s[g], j_body, (zero, zero, init_slabs)
+            )
             res_s[pl.ds(c * BAND_ROWS + g * TILE_S, TILE_S), :] = (
                 (1.0 - fy_g) * a0 + fy_g * a1
             )
@@ -354,9 +378,9 @@ def _warp_pallas_impl(img, flow, sx, sy, interpret):
         f"feature warps through the XLA path (got C={C})"
     )
     TOP = TILE_S  # replica rows above the frame (diagonal-reach margin)
-    # >= TILE_S+1 replica rows below the frame so the window-safety clip
-    # (rr <= rw - TILE_S - 1) only ever lands on replicated border rows.
-    Hp = _round_up(H + TOP + TILE_S + 1, BAND_ROWS)
+    # >= TILE_S+2 replica rows below the frame so the window-safety clip
+    # (rr <= rw - TILE_S - 2) only ever lands on replicated border rows.
+    Hp = _round_up(H + TOP + TILE_S + 2, BAND_ROWS)
     Wp = _round_up(max(W, TILE_L), TILE_L)
     dx = flow[..., 0] * sx
     dy = flow[..., 1] * sy
