@@ -23,7 +23,13 @@ from tpuvc.ops.resample import pixel_shuffle
 
 
 class Conv(nn.Module):
-    """Conv2d with torch-style symmetric padding (pad = k//2)."""
+    """Conv2d with torch-style symmetric padding (pad = k//2).
+
+    Large stride-1 convs (k >= 5) on big frames are routed through the
+    space-to-depth domain (tpuvc.ops.s2d_conv): exact math, 4x MXU lane
+    utilization for the narrow channel counts codec convs run at. Weights
+    stay canonical HWIO either way.
+    """
 
     features: int
     kernel: int = 5
@@ -32,24 +38,37 @@ class Conv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        p = self.kernel // 2
-        kw = {}
-        if self.zero_init:
-            kw = dict(
-                kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros
-            )
+        import jax
+
+        from tpuvc.ops.s2d_conv import s2d_conv, s2d_worthwhile
+
+        kinit = (
+            nn.initializers.zeros
+            if self.zero_init
+            else nn.initializers.lecun_normal()
+        )
+        kernel = self.param(
+            "kernel", kinit, (self.kernel, self.kernel, x.shape[-1], self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
         dt = precision.compute_dtype()
-        y = nn.Conv(
-            self.features,
-            (self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding=[(p, p), (p, p)],
-            dtype=dt,
-            **kw,
-        )(x if dt is None else x.astype(dt))
-        # Cast back so flow/entropy math between convs stays float32
-        # (tpuvc.ops.precision policy; XLA fuses the casts into the conv).
-        return y if dt is None else y.astype(x.dtype)
+        if s2d_worthwhile(x.shape[-3], x.shape[-2], self.kernel, self.stride):
+            return s2d_conv(x, kernel, bias, dtype=dt)
+        p = self.kernel // 2
+        if dt is not None:
+            x = x.astype(dt)
+            kernel = kernel.astype(dt)
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            (self.stride, self.stride),
+            [(p, p), (p, p)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32 if dt is not None else None,
+        )
+        # Bias/output in float32 so flow/entropy math between convs stays
+        # full precision (tpuvc.ops.precision; XLA fuses the casts).
+        return y.astype(jnp.float32) + bias[None, None, None, :]
 
 
 class Deconv(nn.Module):

@@ -31,6 +31,24 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# Minimum pixel count for routing a stride-1 conv through the s2d domain.
+# Below this the layout transposes outweigh the MXU utilization gain.
+S2D_MIN_PIXELS = 256 * 256
+
+
+def s2d_worthwhile(h: int, w: int, kernel: int, stride: int) -> bool:
+    """Route policy: stride-1, kernel >= 5 (k=3 has a 4x FLOP overhead in
+    s2d, k=5 only 1.44x, k=7 2x), even dims, and a large enough frame."""
+    return (
+        stride == 1
+        and kernel >= 5
+        and kernel % 2 == 1
+        and h % 2 == 0
+        and w % 2 == 0
+        and h * w >= S2D_MIN_PIXELS
+    )
+
+
 def space_to_depth(x: jnp.ndarray, r: int = 2) -> jnp.ndarray:
     """(B, H, W, C) -> (B, H/r, W/r, r*r*C); channel blocks ordered
     (phase_y, phase_x) major, original channel minor."""
