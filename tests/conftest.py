@@ -17,7 +17,7 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent compile cache: the suite is compile-dominated on small hosts;
 # cached executables make repeat runs (CI, pre-commit) minutes faster.
-_cache = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache")
+_cache = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache_cpu")
 os.makedirs(_cache, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

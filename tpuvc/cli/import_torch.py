@@ -1,0 +1,41 @@
+"""Convert a reference PyTorch checkpoint to a tpuvc checkpoint.
+
+    python -m tpuvc.cli.import_torch --input compression_1626.pth \
+        --output lhbdc_1626.tpuvc --family lhbdc
+
+Reads the reference's whole-model ``.pth`` (LHBDC/train.py:205-215 format,
+or a raw state dict), maps it onto the tpuvc parameter tree
+(tpuvc.utils.torch_import), and writes it in tpuvc's checkpoint format so
+``encode_b``/``decode_b``/``test`` can load trained reference weights.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True, help=".pth checkpoint path")
+    ap.add_argument("--output", required=True, help="tpuvc checkpoint path")
+    ap.add_argument(
+        "--family", default="lhbdc", choices=["lhbdc"],
+        help="codec family the checkpoint belongs to",
+    )
+    args = ap.parse_args(argv)
+
+    import jax
+
+    from tpuvc.utils.checkpoint import save_checkpoint
+    from tpuvc.utils.torch_import import load_lhbdc_pth
+
+    params, report = load_lhbdc_pth(args.input)
+    n_leaves = len(jax.tree_util.tree_leaves(params))
+    print(f"mapped {n_leaves} parameter tensors; "
+          f"skipped {len(report.skipped)} rebuilt buffers")
+    save_checkpoint(args.output, {"params": params})
+    print(f"wrote {args.output}")
+
+
+if __name__ == "__main__":
+    main()
