@@ -29,6 +29,11 @@ def build_parser():
     p.add_argument("--weights", default="pretrained_weights")
     p.add_argument("--init", choices=["load", "random"], default="load")
     p.add_argument("--N", type=int, default=128)
+    p.add_argument(
+        "--current", default=None,
+        help="optional ground-truth frame: prints PSNR and stream size "
+        "(parity with Flex-Rate.../test/decode_B.py:138-144)",
+    )
     return p
 
 
@@ -90,6 +95,17 @@ def main(argv=None):
     img = float_to_uint8(jax.device_get(x_hat)[0, :h, :w])
     save_png(args.out, img)
     print(f"decoded {args.out} ({h}x{w})")
+    if args.current is not None:
+        import numpy as np
+
+        from tpuvc.eval.metrics import psnr_uint8
+
+        gt, _ = prepare_frame(args.current)
+        gt_img = float_to_uint8(np.asarray(gt)[0, :h, :w])
+        print(
+            f"psnr {psnr_uint8(img, gt_img):.2f} dB, "
+            f"{os.path.getsize(args.bin)} bytes"
+        )
 
 
 if __name__ == "__main__":
