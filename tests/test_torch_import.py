@@ -116,6 +116,43 @@ def make_reference_state_dict(rng, n=8):
     return sd
 
 
+def _add_unet(sd, rng, key, in_ch, out_ch, depth, wf=5):
+    prev = in_ch
+    for i in range(depth):
+        w = 2 ** (wf + i)
+        _add_conv(sd, rng, f"{key}.down_path.{i}.block.0", w, prev, 3)
+        _add_conv(sd, rng, f"{key}.down_path.{i}.block.2", w, w, 3)
+        prev = w
+    _add_conv(sd, rng, f"{key}.midconv", prev, prev, 3)
+    for j, i in enumerate(reversed(range(depth - 1))):
+        w = 2 ** (wf + i)
+        _add_conv(sd, rng, f"{key}.up_path.{j}.up.1", w, prev, 3)
+        _add_conv(sd, rng, f"{key}.up_path.{j}.conv_block.block.0", w, 2 * w, 3)
+        _add_conv(sd, rng, f"{key}.up_path.{j}.conv_block.block.2", w, w, 3)
+        prev = w
+    _add_conv(sd, rng, f"{key}.last", out_ch, prev, 3)
+
+
+def make_flexrate_state_dict(rng, n=8, levels=6):
+    sd = {}
+    _add_unet(sd, rng, "flow_predictor", 6, 4, depth=5)
+    _add_unet(sd, rng, "Mask", 16, 2, depth=4)
+    for key, in_ch, out_ch in (
+        ("flow_compressor", 19, 4),
+        ("residual_compressor", 3, 3),
+    ):
+        _add_hyperprior(sd, rng, key, n, in_ch, out_ch)
+        for g in ("gain_unit", "inv_gain_unit",
+                  "hyper_gain_unit", "hyper_inv_gain_unit"):
+            sd[f"{key}.{g}.gain_matrix"] = np.ones((levels, n), np.float32)
+    # Random 0.1-std weights explode through the depth-5 UNet (512-ch convs
+    # gain ~7x per layer); damp so the finite-forward check is meaningful.
+    for k in sd:
+        if k.endswith(".weight"):
+            sd[k] = sd[k] * 0.12
+    return sd
+
+
 class TestImportTree:
     def test_tree_matches_init(self, rng):
         sd = make_reference_state_dict(rng, n=8)
@@ -138,6 +175,47 @@ class TestImportTree:
         )
         for k in flat_ref:
             assert flat_ref[k] == flat_got[k], (k, flat_ref[k], flat_got[k])
+
+    def test_flexrate_tree_matches_init(self, rng):
+        from tpuvc.models.flexrate import BidirFlowRef
+        from tpuvc.utils.torch_import import import_flexrate_state_dict
+
+        sd = make_flexrate_state_dict(rng, n=8)
+        params, rep = import_flexrate_state_dict(sd)
+        assert not rep.unused(sd), rep.unused(sd)[:10]
+
+        model = BidirFlowRef(N=8)
+        x = jnp.zeros((1, 128, 128, 3), jnp.float32)
+        ref = model.init(
+            jax.random.key(0), x, x, x, 0, 1.0, "dequantize"
+        )["params"]
+        flat_ref = {
+            jax.tree_util.keystr(p): tuple(v.shape)
+            for p, v in jax.tree_util.tree_flatten_with_path(ref)[0]
+        }
+        flat_got = {
+            jax.tree_util.keystr(p): tuple(v.shape)
+            for p, v in jax.tree_util.tree_flatten_with_path(params)[0]
+        }
+        assert set(flat_ref) == set(flat_got), (
+            sorted(set(flat_ref) ^ set(flat_got))[:10]
+        )
+        for k in flat_ref:
+            assert flat_ref[k] == flat_got[k], (k, flat_ref[k], flat_got[k])
+
+    def test_flexrate_forward_runs(self, rng):
+        from tpuvc.models.flexrate import BidirFlowRef
+        from tpuvc.utils.torch_import import import_flexrate_state_dict
+
+        sd = make_flexrate_state_dict(rng, n=8)
+        params, _ = import_flexrate_state_dict(sd)
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+        model = BidirFlowRef(N=8)
+        x = jnp.asarray(rng.random((1, 64, 64, 3), dtype=np.float32))
+        out = model.apply(
+            {"params": params}, x, x, x, 2, 0.7, "dequantize"
+        )
+        assert bool(jnp.all(jnp.isfinite(out["x_hat"])))
 
     def test_state_dict_wrapper(self, rng):
         sd = make_reference_state_dict(rng, n=8)

@@ -19,7 +19,7 @@ def main(argv=None):
     ap.add_argument("--input", required=True, help=".pth checkpoint path")
     ap.add_argument("--output", required=True, help="tpuvc checkpoint path")
     ap.add_argument(
-        "--family", default="lhbdc", choices=["lhbdc"],
+        "--family", default="lhbdc", choices=["lhbdc", "flexrate"],
         help="codec family the checkpoint belongs to",
     )
     args = ap.parse_args(argv)
@@ -27,9 +27,9 @@ def main(argv=None):
     import jax
 
     from tpuvc.utils.checkpoint import save_checkpoint
-    from tpuvc.utils.torch_import import load_lhbdc_pth
+    from tpuvc.utils.torch_import import load_pth
 
-    params, report = load_lhbdc_pth(args.input)
+    params, report = load_pth(args.input, args.family)
     n_leaves = len(jax.tree_util.tree_leaves(params))
     print(f"mapped {n_leaves} parameter tensors; "
           f"skipped {len(report.skipped)} rebuilt buffers")

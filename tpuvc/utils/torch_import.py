@@ -209,10 +209,85 @@ def import_lhbdc_state_dict(sd: Mapping[str, Any]):
     return params, rep
 
 
-def load_lhbdc_pth(path: str):
-    """Load a reference ``compression_{lambda}.pth`` via torch (CPU) and
-    convert. Returns (params, report)."""
+def _unet(sd, rep, tkey: str, depth: int) -> dict:
+    """Flex-Rate UNet (Flex-Rate.../b_model/unet.py:9-95) -> tpuvc UNet.
+
+    tpuvc's @nn.compact call order numbers the convs: down blocks (2 per
+    level), midconv, up blocks (up conv + 2 block convs, processed from the
+    deepest = torch up_path.0), final conv.
+    """
+    out = {}
+    c = 0
+
+    def put(src):
+        nonlocal c
+        out[f"Conv_{c}"] = _conv(sd, rep, src)
+        c += 1
+
+    for i in range(depth):
+        put(f"{tkey}.down_path.{i}.block.0")
+        put(f"{tkey}.down_path.{i}.block.2")
+    put(f"{tkey}.midconv")
+    for j in range(depth - 1):
+        put(f"{tkey}.up_path.{j}.up.1")
+        put(f"{tkey}.up_path.{j}.conv_block.block.0")
+        put(f"{tkey}.up_path.{j}.conv_block.block.2")
+    put(f"{tkey}.last")
+    return out
+
+
+def _gain(sd, rep, tkey: str) -> dict:
+    rep.used.add(f"{tkey}.gain_matrix")
+    return {"gain_matrix": _np(sd[f"{tkey}.gain_matrix"])}
+
+
+def import_flexrate_state_dict(sd: Mapping[str, Any]):
+    """Reference Flex-Rate BidirFlowRef state dict -> (flax params, report).
+
+    Module names from Flex-Rate.../b_model/b_model.py:28-32 (flow_predictor,
+    Mask, flow_compressor, residual_compressor); the gained compressors share
+    the LHBDC hyperprior transform topology plus 4 gain units each
+    (b_model/layers.py:76-246).
+    """
+    if "state_dict" in sd and not hasattr(sd["state_dict"], "shape"):
+        sd = sd["state_dict"]
+    rep = ImportReport()
+    for k in sd:
+        if k.endswith(_SKIP_SUFFIXES):
+            rep.skipped.append(k)
+
+    def gained(tkey):
+        out = _hyperprior(sd, rep, tkey)
+        for g in ("gain_unit", "inv_gain_unit",
+                  "hyper_gain_unit", "hyper_inv_gain_unit"):
+            out[g] = _gain(sd, rep, f"{tkey}.{g}")
+        return out
+
+    params = {
+        "flow_predictor": _unet(sd, rep, "flow_predictor", depth=5),
+        "mask": _unet(sd, rep, "Mask", depth=4),
+        "flow_compressor": gained("flow_compressor"),
+        "residual_compressor": gained("residual_compressor"),
+    }
+    return params, rep
+
+
+_IMPORTERS = {
+    "lhbdc": import_lhbdc_state_dict,
+    "flexrate": import_flexrate_state_dict,
+}
+
+
+def load_pth(path: str, family: str = "lhbdc"):
+    """Load a reference ``.pth`` via torch (CPU) and convert.
+    Returns (params, report)."""
     import torch
 
     sd = torch.load(path, map_location="cpu")
-    return import_lhbdc_state_dict(sd)
+    return _IMPORTERS[family](sd)
+
+
+def load_lhbdc_pth(path: str):
+    """Load a reference ``compression_{lambda}.pth`` via torch (CPU) and
+    convert. Returns (params, report)."""
+    return load_pth(path, "lhbdc")
