@@ -18,6 +18,7 @@ groups = offset groups (the reference always uses them equal).
 
 from __future__ import annotations
 
+import functools
 import os
 
 import flax.linen as nn
@@ -98,6 +99,56 @@ def _use_pallas_sampling(shape) -> bool:
     return eligible and jax.default_backend() in ("tpu", "axon")
 
 
+def _use_fused(shape, cg: int, og: int, taps: int) -> bool:
+    """Gate the fused multi-tap Pallas kernel (tpuvc.ops.deform_pallas):
+    one window pass computes all taps + the weight contraction, instead of
+    one full sampling pass per tap. TPUVC_WARP=xla disables."""
+    from tpuvc.ops.deform_pallas import MAX_CHANNELS, MAX_OUT, MAX_TAPS
+
+    mode = os.environ.get("TPUVC_WARP", "auto")
+    if mode == "xla":
+        return False
+    B, H, W, C = shape
+    eligible = (
+        cg <= MAX_CHANNELS
+        and og <= MAX_OUT
+        and taps <= MAX_TAPS
+        and H * W >= 128 * 256
+    )
+    if mode == "pallas":
+        return eligible
+    return eligible and jax.default_backend() in ("tpu", "axon")
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _deform_fused(x, offsets, masks, weight, bias, groups, kernel):
+    """Fused-kernel forward of :func:`deform_conv2d` (same args).
+
+    custom_vjp: the backward pass re-derives gradients from the tap-unrolled
+    XLA formulation (training runs on small crops where that path is cheap).
+    """
+    return _deform_taps(
+        x, offsets, masks, weight, bias, groups, kernel, fused=True
+    )
+
+
+def _deform_fused_fwd(x, offsets, masks, weight, bias, groups, kernel):
+    out = _deform_fused(x, offsets, masks, weight, bias, groups, kernel)
+    return out, (x, offsets, masks, weight, bias)
+
+
+def _deform_fused_bwd(groups, kernel, res, g):
+    x, offsets, masks, weight, bias = res
+    _, vjp = jax.vjp(
+        lambda *a: _deform_taps(*a, groups, kernel, fused=False, force_xla=True),
+        x, offsets, masks, weight, bias,
+    )
+    return vjp(g)
+
+
+_deform_fused.defvjp(_deform_fused_fwd, _deform_fused_bwd)
+
+
 def deform_conv2d(
     x: jnp.ndarray,
     offsets: jnp.ndarray,
@@ -120,6 +171,25 @@ def deform_conv2d(
       bias: (C_out,) or None.
       groups: number of weight==offset groups G.
     """
+    C = x.shape[-1]
+    C_out = weight.shape[-1]
+    if _use_fused(x.shape, C // groups, C_out // groups, kernel * kernel):
+        if masks is None:  # custom_vjp needs a real tensor to differentiate
+            masks = jnp.ones(
+                (*x.shape[:3], groups * kernel * kernel), x.dtype
+            )
+        if bias is None:
+            bias = jnp.zeros((C_out,), x.dtype)
+        return _deform_fused(x, offsets, masks, weight, bias, groups, kernel)
+    return _deform_taps(
+        x, offsets, masks, weight, bias, groups, kernel, fused=False
+    )
+
+
+def _deform_taps(
+    x, offsets, masks, weight, bias, groups, kernel,
+    fused: bool = False, force_xla: bool = False,
+):
     B, H, W, C = x.shape
     K = kernel
     G = groups
@@ -140,13 +210,39 @@ def deform_conv2d(
         m = jnp.moveaxis(
             masks.reshape(B, H, W, G, K * K), 3, 1
         ).reshape(B * G, H, W, K * K)
+    else:
+        m = jnp.ones(off.shape[:-1], x.dtype)
+
+    pad = K // 2
+
+    if fused:
+        from tpuvc.ops.deform_pallas import deform_sample_accum
+
+        # Per-tap flows: (dy, dx) torchvision order -> (dx, dy) + tap base.
+        off_t = jnp.moveaxis(off, 3, 1)[..., ::-1]  # (BG, T, H, W, 2)
+        bases = jnp.asarray(
+            [[kx - pad, ky - pad] for ky in range(K) for kx in range(K)],
+            x.dtype,
+        )
+        flows = off_t + bases[None, :, None, None, :]
+        m_t = jnp.moveaxis(m, 3, 1)  # (BG, T, H, W)
+        # weight (K,K,Cg,C_out) -> (G, T, Cg, Og)
+        w_g = weight.reshape(K * K, Cg, G, Og).transpose(2, 0, 1, 3)
+        out = deform_sample_accum(xg, flows, m_t, w_g)
+        out = jnp.moveaxis(
+            out.reshape(B, G, H, W, Og), 1, -2
+        ).reshape(B, H, W, C_out)
+        if bias is not None:
+            out = out + bias
+        return out
 
     # weight (K,K,Cg,C_out) -> per-tap grouped weights (K*K, G, Cg, Og)
     wk = weight.reshape(K * K, Cg, G, Og)
 
-    pad = K // 2
     sample_fn = (
-        _warp_zero_pallas if _use_pallas_sampling(xg.shape) else _warp_zero_pad
+        _warp_zero_pallas
+        if (not force_xla and _use_pallas_sampling(xg.shape))
+        else _warp_zero_pad
     )
     acc = jnp.zeros((B, G, H, W, Og), x.dtype)
     for k in range(K * K):
@@ -155,8 +251,7 @@ def deform_conv2d(
         # torchvision offset order is (dy, dx); our warp takes (dx, dy).
         flow = off[..., k, ::-1] + base
         sampled = sample_fn(xg, flow)  # (B*G, H, W, Cg)
-        if masks is not None:
-            sampled = sampled * m[..., k][..., None]
+        sampled = sampled * m[..., k][..., None]
         sampled = sampled.reshape(B, G, H, W, Cg)
         dt = precision.compute_dtype()
         wt = wk[k]

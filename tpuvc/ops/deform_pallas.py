@@ -1,0 +1,376 @@
+"""Pallas TPU kernel for multi-tap deformable sampling + weighted fusion.
+
+The modulated deformable convolution (tpuvc.ops.deform; torchvision
+DeformConv2d semantics) is the dominant cost of the v3/v4 codecs at 1080p:
+its K*K taps each need a full bilinear-sampling pass. The single-tap Pallas
+warp (tpuvc.ops.warp_pallas) has a ~42 ms *floor* per pass at the v4 L1
+group shape — window DMA, channel de-interleave, and diagonal-slab
+initialisation — so 9 tap passes pay that floor 9 times (measured 772 ms
+for one L1 OffsetDiversity call, ~90% of the whole v4 1080p forward).
+
+This kernel computes ALL taps in one pass over each output band and fuses
+the mask modulation and the grouped weight contraction:
+
+    out[y, x, o] = sum_t sum_c w[t, c, o] * m_t(y, x) * sample_t(y, x, c)
+
+Shared per band: the row-window DMA, the de-interleave of every channel,
+and the diagonal-slab walk per row-group, whose vertical range is the UNION
+of the taps' spreads (deformable taps differ by a +-1 base plus the bounded
+learned diversity, so the union is barely wider than one tap). Each extra
+tap costs only its per-j lane-gathers and compare-FMAs — the floor is paid
+once instead of T times. The weight contraction accumulates in-register
+(og accumulator tiles in the loop carry), so no per-tap sampled tensors
+ever hit HBM.
+
+Semantics: torchvision zero padding outside the frame — the wrapper adds a
+1-px zero ring and border-clamps onto it (same trick as
+tpuvc.ops.deform._warp_zero_pallas). Exactness domain per band: union row
+spread within the ROWS_WINDOW margin and <= LOCAL_H - 2 per row-group,
+dx spread <= 126 px; beyond it sampling clamps to the window edge.
+
+Used by tpuvc.ops.deform.deform_conv2d on TPU for Cg <= MAX_CHANNELS and
+Og <= MAX_OUT; the XLA gather path remains the fallback and the VJP
+(training runs on small crops where gathers are cheap).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpuvc.ops.warp_pallas import (
+    TILE_L,
+    TILE_S,
+    _deinterleave_matrix,
+    _interleave_matrix,
+    _lane_gather,
+    _round_up,
+)
+
+LOCAL_H = 96   # per-row-group union vertical reach cap (j-loop bound)
+LOCAL_W = 384  # local window cols: 128 output + 128 slack + dx spread
+BAND_ROWS = 16
+ROWS_WINDOW = 112
+MAX_CHANNELS = 8
+MAX_OUT = 8
+MAX_TAPS = 9
+
+
+def _deform_band_kernel(
+    h: int,
+    w: int,
+    ch: int,
+    og: int,
+    taps: int,
+    rw: int,
+    ng: int,
+    wt_ref,        # SMEM (ng*taps*ch*og,): weights, batch item b uses
+                   # weight group b % ng at ((g*taps + t)*ch + c)*og + o
+    img_hbm,       # (B, H, W*ch) ANY
+    tap_ref,       # (1, 1, taps, 3, BAND_ROWS, W) VMEM: dy, dx, mask planes
+    out_ref,       # (1, BAND_ROWS, W*og) VMEM
+    win_i,         # (rw, W*ch) VMEM scratch (interleaved window)
+    win_c,         # (ch*rw, W) VMEM scratch (de-interleaved planes)
+    res_s,         # (og*BAND_ROWS, W) VMEM scratch (pre-interleave output)
+    rloc_s,        # (taps*BAND_ROWS, W) int32 scratch (diagonal row coords)
+    xloc_s,        # (taps*BAND_ROWS, W) int32 scratch (window col coords)
+    fx_s,          # (taps*BAND_ROWS, W) f32 scratch
+    fy_s,          # (taps*BAND_ROWS, W) f32 scratch
+    rys_s,         # SMEM (BAND_ROWS // TILE_S,): per-group union row start
+    jhi_s,         # SMEM (BAND_ROWS // TILE_S,): per-group j-loop bound
+    rlo_s,         # SMEM (2,): window row start, quantized dx
+    sem,
+):
+    b = pl.program_id(0)
+    band = pl.program_id(1)
+    wg = b % ng  # weight group (batch is group-minor folded)
+    n_s = BAND_ROWS // TILE_S
+    n_l = w // TILE_L
+    lw = min(LOCAL_W, w)
+    lh = min(LOCAL_H, rw)
+
+    def tap_plane(t, k):
+        return tap_ref[0, 0, t, k]
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (BAND_ROWS, w), 0).astype(
+        jnp.float32
+    )
+    icols = jax.lax.broadcasted_iota(jnp.int32, (BAND_ROWS, w), 1)
+
+    # --- per-tap sampling indices; window bounds are unions over taps ---
+    ymin = None
+    xrel_min = None
+    for t in range(taps):
+        y = rows + band * BAND_ROWS + tap_plane(t, 0)
+        x = icols.astype(jnp.float32) + tap_plane(t, 1)
+        y = jnp.clip(y, 0.0, h - 1.0)
+        x = jnp.clip(x, 0.0, w - 1.0)
+        y0 = jnp.minimum(jnp.floor(y), h - 2.0)
+        x0 = jnp.minimum(jnp.floor(x), w - 2.0)
+        tsl = pl.ds(t * BAND_ROWS, BAND_ROWS)
+        fy_s[tsl, :] = y - y0
+        fx_s[tsl, :] = x - x0
+        rloc_s[tsl, :] = y0.astype(jnp.int32)  # absolute rows for now
+        xloc_s[tsl, :] = x0.astype(jnp.int32)  # absolute cols for now
+        ymin = y0 if ymin is None else jnp.minimum(ymin, y0)
+        xrel = x0.astype(jnp.int32) - icols
+        xrel_min = xrel if xrel_min is None else jnp.minimum(xrel_min, xrel)
+
+    # Window start: 8-aligned, 8 rows below the min sampled row (diagonal
+    # coordinates rr - s stay positive; the wrapper edge-pads 8 rows on top).
+    r_lo = jnp.clip(
+        (jnp.min(ymin).astype(jnp.int32) // 8) * 8 - 8, 0, max(h - rw, 0)
+    )
+    rlo_s[0] = r_lo
+    qdx = jnp.clip((jnp.min(xrel_min) // TILE_L) * TILE_L, -w, w)
+    rlo_s[1] = qdx
+
+    s_iota = jax.lax.broadcasted_iota(jnp.int32, (BAND_ROWS, w), 0) % TILE_S
+    qx = (icols // TILE_L) * TILE_L
+    start = jnp.clip(qx + qdx, 0, w - lw)
+    for t in range(taps):
+        tsl = pl.ds(t * BAND_ROWS, BAND_ROWS)
+        rr = jnp.clip(rloc_s[tsl, :] - r_lo, 0, rw - TILE_S - 2)
+        rloc_s[tsl, :] = rr - s_iota  # diagonal coordinates
+        xloc_s[tsl, :] = jnp.clip(xloc_s[tsl, :] - start, 0, lw - 2)
+
+    # Per-group union vertical range across taps (diagonal coords).
+    for g in range(n_s):
+        gmin = None
+        gmax = None
+        for t in range(taps):
+            rr_g = rloc_s[pl.ds(t * BAND_ROWS + g * TILE_S, TILE_S), :]
+            tmin = jnp.min(rr_g)
+            tmax = jnp.max(rr_g)
+            gmin = tmin if gmin is None else jnp.minimum(gmin, tmin)
+            gmax = tmax if gmax is None else jnp.maximum(gmax, tmax)
+        ry_g = jnp.clip(gmin, 0, rw - TILE_S - 2)
+        rys_s[g] = ry_g
+        jhi_s[g] = jnp.minimum(gmax - ry_g + 2, lh)
+        for t in range(taps):
+            sl = pl.ds(t * BAND_ROWS + g * TILE_S, TILE_S)
+            rloc_s[sl, :] = jnp.clip(rloc_s[sl, :] - ry_g, 0, lh - 2)
+
+    # --- window DMA ---
+    copy = pltpu.make_async_copy(
+        img_hbm.at[b, pl.ds(pl.multiple_of(rlo_s[0], 8), rw), :], win_i, sem
+    )
+    copy.start()
+    copy.wait()
+
+    # --- de-interleave every channel once (shared by all taps) ---
+    for c in range(ch):
+        P = _deinterleave_matrix(ch, c)
+        for tl in range(n_l):
+            slab = win_i[:, ch * tl * TILE_L : ch * (tl + 1) * TILE_L]
+            win_c[
+                pl.ds(c * rw, rw), tl * TILE_L : (tl + 1) * TILE_L
+            ] = jnp.dot(
+                slab, P, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+    qdx_v = rlo_s[1]
+
+    def tile_rx(tl):
+        return pl.multiple_of(
+            jnp.clip(tl * TILE_L + qdx_v, 0, w - lw), TILE_L
+        )
+
+    # --- one union slab walk per (group, channel), all taps fused ---
+    for g in range(n_s):
+        ry = rys_s[g]
+        for c in range(ch):
+            base = c * rw
+            # weights for this channel: scalar reads hoisted out of j loop
+            wts = [
+                [
+                    wt_ref[((wg * taps + t) * ch + c) * og + o]
+                    for o in range(og)
+                ]
+                for t in range(taps)
+            ]
+            for tl in range(n_l):
+                lsl = slice(tl * TILE_L, (tl + 1) * TILE_L)
+                rx = tile_rx(tl)
+                init_slab = jnp.concatenate(
+                    [
+                        win_c[pl.ds(base + ry + s, 1), pl.ds(rx, lw)]
+                        for s in range(TILE_S)
+                    ],
+                    axis=0,
+                )
+                zero = jnp.zeros((TILE_S, TILE_L), jnp.float32)
+
+                def j_body(j, carry, g=g, c=c, base=base, ry=ry, rx=rx,
+                           lsl=lsl, wts=wts):
+                    accs, slab = carry
+                    new_accs = list(accs)
+                    for t in range(taps):
+                        sl = pl.ds(t * BAND_ROWS + g * TILE_S, TILE_S)
+                        xl = xloc_s[sl, lsl]
+                        g0 = _lane_gather(slab, xl)
+                        g1 = _lane_gather(slab, xl + 1)
+                        fx_t = fx_s[sl, lsl]
+                        fy_t = fy_s[sl, lsl]
+                        rl = rloc_s[sl, lsl]
+                        c_row = (1.0 - fx_t) * g0 + fx_t * g1
+                        hit = (
+                            (rl == j).astype(jnp.float32) * (1.0 - fy_t)
+                            + (rl == j - 1).astype(jnp.float32) * fy_t
+                        )
+                        msk = tap_ref[0, 0, t, 2, pl.ds(g * TILE_S, TILE_S), lsl]
+                        contrib = hit * c_row * msk
+                        for o in range(og):
+                            new_accs[o] = new_accs[o] + wts[t][o] * contrib
+                    row_new = win_c[
+                        pl.ds(base + ry + j + TILE_S, 1), pl.ds(rx, lw)
+                    ]
+                    slab = jnp.concatenate([slab[1:], row_new], axis=0)
+                    return (tuple(new_accs), slab)
+
+                accs, _ = jax.lax.fori_loop(
+                    0, jhi_s[g], j_body,
+                    (tuple(zero for _ in range(og)), init_slab),
+                )
+                for o in range(og):
+                    osl = pl.ds(o * BAND_ROWS + g * TILE_S, TILE_S)
+                    if c == 0:
+                        res_s[osl, lsl] = accs[o]
+                    else:
+                        res_s[osl, lsl] = res_s[osl, lsl] + accs[o]
+
+    # --- re-interleave: out[y, x*og + o] = res_s[o*BAND + y, x] ---
+    sw = min(2 * TILE_L, w)
+    for T in range(w * og // TILE_L):
+        t_lo = min((T * TILE_L) // og // TILE_L, max(n_l - 2, 0))
+        acc = jnp.zeros((BAND_ROWS, TILE_L), jnp.float32)
+        for o in range(og):
+            Q = _interleave_matrix(og, o, T, t_lo * TILE_L, sw)
+            slab = res_s[
+                o * BAND_ROWS : (o + 1) * BAND_ROWS,
+                t_lo * TILE_L : t_lo * TILE_L + sw,
+            ]
+            acc = acc + jnp.dot(
+                slab, Q, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        out_ref[0, :, T * TILE_L : (T + 1) * TILE_L] = acc
+
+
+def _deform_pallas_nhwc(img3, off, wt, ch: int, og: int, ng: int,
+                        interpret: bool = False):
+    """img3 (B, H, W*ch) flat NHWC view; off (B, n_bands, T, 3, BAND_ROWS, W)
+    band-major dy/dx/mask planes; wt (ng*T*ch*og,) flat weights (batch item b
+    uses group b % ng). H multiple of BAND_ROWS, W multiple of TILE_L.
+    Returns (B, H, W*og)."""
+    B, H, WC = img3.shape
+    W = WC // ch
+    T = off.shape[2]
+    rw = min(ROWS_WINDOW, H)
+    n_bands = H // BAND_ROWS
+    kernel = functools.partial(
+        _deform_band_kernel, H, W, ch, og, T, rw, ng
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B, n_bands),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (1, 1, T, 3, BAND_ROWS, W),
+                lambda b, n: (b, n, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, BAND_ROWS, W * og), lambda b, n: (b, n, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, W * og), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((rw, WC), jnp.float32),            # win_i
+            pltpu.VMEM((ch * rw, W), jnp.float32),        # win_c
+            pltpu.VMEM((og * BAND_ROWS, W), jnp.float32),  # res
+            pltpu.VMEM((T * BAND_ROWS, W), jnp.int32),    # rloc
+            pltpu.VMEM((T * BAND_ROWS, W), jnp.int32),    # xloc
+            pltpu.VMEM((T * BAND_ROWS, W), jnp.float32),  # fx
+            pltpu.VMEM((T * BAND_ROWS, W), jnp.float32),  # fy
+            pltpu.SMEM((BAND_ROWS // TILE_S,), jnp.int32),  # rys
+            pltpu.SMEM((BAND_ROWS // TILE_S,), jnp.int32),  # jhi
+            pltpu.SMEM((2,), jnp.int32),                  # r_lo, qdx
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(wt, img3, off)
+
+
+def deform_sample_accum(
+    img: jnp.ndarray,       # (B, H, W, C)
+    flows: jnp.ndarray,     # (B, T, H, W, 2): per-tap (dx, dy) displacement
+    masks: jnp.ndarray,     # (B, T, H, W) modulation
+    weights: jnp.ndarray,   # (T, C, Og) or (G, T, C, Og): batch item b
+                            # uses weight group b % G
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused multi-tap modulated deformable sampling (zero padding):
+
+        out[b,y,x,o] = sum_{t,c} weights[[b%G,] t, c, o] * masks[b,t,y,x]
+                       * bilinear_zero(img[b,:,:,c], y+dy, x+dx)
+
+    One Pallas pass over the image per band; see module docstring.
+    """
+    B, H, W, C = img.shape
+    T = flows.shape[1]
+    if weights.ndim == 3:
+        weights = weights[None]
+    G, Tw, Cw, Og = weights.shape
+    assert C <= MAX_CHANNELS and Og <= MAX_OUT and T <= MAX_TAPS, (C, Og, T)
+    assert (Tw, Cw) == (T, C), weights.shape
+    assert B % G == 0, (B, G)
+    assert flows.shape == (B, T, H, W, 2), flows.shape
+    assert masks.shape == (B, T, H, W), masks.shape
+
+    # Zero ring for torchvision zero-pad semantics, then edge replicas for
+    # the kernel's window margins (clamping lands on the zero ring first).
+    ZR = 1
+    TOP = TILE_S
+    Hz, Wz = H + 2 * ZR, W + 2 * ZR
+    Hp = _round_up(Hz + TOP + TILE_S + 2, BAND_ROWS)
+    Wp = _round_up(max(Wz, TILE_L), TILE_L)
+    img_p = jnp.pad(img, ((0, 0), (ZR, ZR), (ZR, ZR), (0, 0)))
+    img_p = jnp.pad(
+        img_p,
+        ((0, 0), (TOP, Hp - Hz - TOP), (0, Wp - Wz), (0, 0)),
+        mode="edge",
+    )
+
+    dx = flows[..., 0]
+    dy = flows[..., 1]
+    # (B, T, H, W) -> padded planes; flow/mask values replicate at edges.
+    def pad_plane(p):
+        p = jnp.pad(p, ((0, 0), (0, 0), (ZR, ZR), (ZR, ZR)), mode="edge")
+        return jnp.pad(
+            p,
+            ((0, 0), (0, 0), (TOP, Hp - Hz - TOP), (0, Wp - Wz)),
+            mode="edge",
+        )
+
+    off = jnp.stack(
+        [pad_plane(dy), pad_plane(dx), pad_plane(masks)], axis=2
+    ).astype(jnp.float32)  # (B, T, 3, Hp, Wp)
+    # band-major layout so each band's planes are one contiguous VMEM block
+    off = off.reshape(B, T, 3, Hp // BAND_ROWS, BAND_ROWS, Wp).transpose(
+        0, 3, 1, 2, 4, 5
+    )  # (B, n_bands, T, 3, BAND_ROWS, Wp)
+
+    img3 = img_p.reshape(B, Hp, Wp * C).astype(jnp.float32)
+    wt = weights.reshape(-1).astype(jnp.float32)
+    out = _deform_pallas_nhwc(img3, off, wt, C, Og, G, interpret=interpret)
+    out = out.reshape(B, Hp, Wp, Og)
+    return out[:, TOP + ZR : TOP + ZR + H, ZR : ZR + W, :]
