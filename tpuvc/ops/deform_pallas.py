@@ -51,7 +51,8 @@ from tpuvc.ops.warp_pallas import (
     _round_up,
 )
 
-LOCAL_H = 96   # per-row-group union vertical reach cap (j-loop bound)
+LOCAL_H = 40   # per-row-group union vertical reach cap (j-loop bound;
+               # matches warp_pallas so truncation behavior is identical)
 LOCAL_W = 384  # local window cols: 128 output + 128 slack + dx spread
 BAND_ROWS = 16
 ROWS_WINDOW = 112
