@@ -307,6 +307,13 @@ def _deform_pallas_nhwc(img3, off, wt, ch: int, og: int, ng: int,
             pltpu.SMEM((2,), jnp.int32),                  # r_lo, qdx
             pltpu.SemaphoreType.DMA,
         ],
+        # The default 16MB scoped-vmem ceiling counts double-buffered blocks
+        # plus opaque per-config overheads and rejects some codec shapes by
+        # a few hundred KB; v5e's physical VMEM comfortably covers the ~15MB
+        # of scratch this kernel declares.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
         interpret=interpret,
     )(wt, img3, off)
 
