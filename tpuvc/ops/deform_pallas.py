@@ -54,8 +54,8 @@ from tpuvc.ops.warp_pallas import (
 LOCAL_H = 40   # per-row-group union vertical reach cap (j-loop bound;
                # matches warp_pallas so truncation behavior is identical)
 LOCAL_W = 384  # local window cols: 128 output + 128 slack + dx spread
-BAND_ROWS = 16
-ROWS_WINDOW = 112
+BAND_ROWS = 32
+ROWS_WINDOW = 128
 MAX_CHANNELS = 8
 MAX_OUT = 8
 MAX_TAPS = 9
