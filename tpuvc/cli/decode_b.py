@@ -19,7 +19,7 @@ def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument(
         "--family",
-        choices=["lhbdc", "flexrate", "flowguided_b"],
+        choices=["lhbdc", "flexrate", "deform_b", "flowguided_b"],
         default="lhbdc",
     )
     p.add_argument("--ref_1", default="frames/ref_1.png")
@@ -48,7 +48,7 @@ def main(argv=None):
 
     with open(args.bin, "rb") as f:
         blob = f.read()
-    if args.family == "flowguided_b":
+    if args.family in ("deform_b", "flowguided_b"):
         from tpuvc.coder.container import VFrameBitstream
 
         bits = VFrameBitstream.deserialize(blob)
@@ -72,6 +72,15 @@ def main(argv=None):
             jax.random.key(0), x, x, x, 0, 0.5, -0.5, 1, "dequantize"
         )
         make = FlowGuidedBCoder
+    elif args.family == "deform_b":
+        from tpuvc.models.deform_b import DeformB, DeformBCoder
+
+        model = DeformB()
+        ckpt = "deform_b.msgpack"
+        init = lambda: model.init(
+            jax.random.key(0), x, x, x, 0.0, "dequantize"
+        )
+        make = DeformBCoder
     else:
         from tpuvc.models.flexrate import BidirFlowRef, FlexRateCoder
 

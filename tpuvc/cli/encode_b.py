@@ -20,7 +20,7 @@ def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument(
         "--family",
-        choices=["lhbdc", "flexrate", "flowguided_b"],
+        choices=["lhbdc", "flexrate", "deform_b", "flowguided_b"],
         default="lhbdc",
     )
     p.add_argument("--ref_1", default="frames/ref_1.png")
@@ -66,6 +66,14 @@ def load_model(args):
         init = lambda: model.init(
             jax.random.key(0), x, x, x, 0, 0.5, -0.5, 1, "dequantize"
         )
+    elif args.family == "deform_b":
+        from tpuvc.models.deform_b import DeformB
+
+        model = DeformB()
+        ckpt = "deform_b.msgpack"
+        init = lambda: model.init(
+            jax.random.key(0), x, x, x, 0.0, "dequantize"
+        )
     else:
         from tpuvc.models.flexrate import BidirFlowRef
 
@@ -91,6 +99,10 @@ def make_coder(args, model, variables):
         from tpuvc.models.flowguided_b import FlowGuidedBCoder
 
         return FlowGuidedBCoder(model, variables)
+    if args.family == "deform_b":
+        from tpuvc.models.deform_b import DeformBCoder
+
+        return DeformBCoder(model, variables)
     from tpuvc.models.flexrate import FlexRateCoder
 
     return FlexRateCoder(model, variables)
@@ -117,6 +129,11 @@ def main(argv=None):
             jnp.asarray(x_before), jnp.asarray(x_after),
             jnp.asarray(x_current), s=args.s, scale1=args.scale1,
             scale2=args.scale2, down_ratio=args.down_ratio,
+        )
+    elif args.family == "deform_b":
+        bits = coder.encode(
+            jnp.asarray(x_before), jnp.asarray(x_after),
+            jnp.asarray(x_current), s=args.s,
         )
     else:
         bits = coder.encode(

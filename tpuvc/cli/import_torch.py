@@ -19,8 +19,14 @@ def main(argv=None):
     ap.add_argument("--input", required=True, help=".pth checkpoint path")
     ap.add_argument("--output", required=True, help="tpuvc checkpoint path")
     ap.add_argument(
-        "--family", default="lhbdc", choices=["lhbdc", "flexrate"],
-        help="codec family the checkpoint belongs to",
+        "--family", default="lhbdc",
+        choices=[
+            "lhbdc", "flexrate", "elic",
+            "deform_b", "icip2023", "flowguided", "icip2024",
+        ],
+        help="codec family the checkpoint belongs to "
+             "(elic = intra model; icip2023/icip2024 are aliases for "
+             "deform_b/flowguided)",
     )
     args = ap.parse_args(argv)
 
@@ -33,6 +39,9 @@ def main(argv=None):
     n_leaves = len(jax.tree_util.tree_leaves(params))
     print(f"mapped {n_leaves} parameter tensors; "
           f"skipped {len(report.skipped)} rebuilt buffers")
+    unused = getattr(report, "unmapped", [])
+    if unused:
+        print(f"WARNING: {len(unused)} unmapped keys, e.g. {unused[:5]}")
     save_checkpoint(args.output, {"params": params})
     print(f"wrote {args.output}")
 

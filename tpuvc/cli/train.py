@@ -22,6 +22,88 @@ import os
 import time
 
 
+def make_bd_validator(cfg, fam, model, log):
+    """Validation half of the BD-rate checkpointing (reference T2 behavior:
+    ICIP2024/src/train/training.py:318-344): code a small validation clip
+    set at every rate level and return the (bpps, psnrs) curve; the caller
+    feeds it to tpuvc.train.trainer.BDCheckpointer against the fixed anchor
+    (the reference's train/bd_rate.py:82-86 anchor, ANCHORS["icip2024_train"]).
+
+    Returns validate(params) -> (bpps, psnrs), or None for single-rate
+    families (the reference's LHBDC trainer has no BD checkpointing either).
+    """
+    if fam not in ("flexrate", "deform_b", "flowguided_b"):
+        return None
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpuvc.data.uvg import SequenceFrames, SyntheticSequence
+    from tpuvc.eval.metrics import psnr_uint8
+
+    val_root = getattr(cfg, "val_root", "")
+    if val_root and os.path.isdir(val_root):
+        seqs = [
+            SequenceFrames(os.path.join(val_root, d), n_frames=3)
+            for d in sorted(os.listdir(val_root))[:2]
+        ]
+    else:
+        seqs = [SyntheticSequence(n_frames=3, seed=s) for s in range(2)]
+    clips = [
+        tuple(jnp.asarray(seq[i]) for i in range(3)) for seq in seqs
+    ]
+    levels = list(range(cfg.model.levels))
+
+    if fam == "flowguided_b":
+        fwd = jax.jit(
+            lambda v, r1, r2, xc, s: model.apply(
+                v, r1, r2, xc, s, 0.5, -0.5, 1, "dequantize"
+            )
+        )
+        run = lambda v, r1, xc, r2, s: fwd(v, r1, r2, xc, float(s))
+    elif fam == "deform_b":
+        fwd = jax.jit(
+            lambda v, r1, r2, xc, s: model.apply(
+                v, r1, r2, xc, s, "dequantize"
+            )
+        )
+        run = lambda v, r1, xc, r2, s: fwd(v, r1, r2, xc, float(s))
+    else:  # flexrate: integer gain level n, interpolation l = 1
+        fwd = jax.jit(
+            lambda v, r1, xc, r2, n: model.apply(
+                v, r1, xc, r2, n, 1.0, "dequantize"
+            )
+        )
+        run = lambda v, r1, xc, r2, s: fwd(v, r1, xc, r2, s)
+
+    def validate(params):
+        """-> (bpps, psnrs) level curve for the BDCheckpointer."""
+        v = {"params": params}
+        bpps, psnrs = [], []
+        for s in levels:
+            ps, rs = [], []
+            for r1, xc, r2 in clips:
+                out = run(v, r1, xc, r2, s)
+                x_hat = np.clip(np.asarray(out["x_hat"]), 0, 1)
+                ps.append(
+                    psnr_uint8(
+                        (x_hat[0] * 255 + 0.5).astype(np.uint8),
+                        (np.asarray(xc[0]) * 255 + 0.5).astype(np.uint8),
+                    )
+                )
+                rs.append(float(jnp.mean(out["rate"])))
+            psnrs.append(float(np.mean(ps)))
+            bpps.append(float(np.mean(rs)))
+        log.info(
+            "val levels bpp=%s psnr=%s",
+            [round(b, 4) for b in bpps], [round(p, 2) for p in psnrs],
+        )
+        return bpps, psnrs
+
+    return validate
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", default=None)
@@ -229,6 +311,20 @@ def main(argv=None):
 
     from tpuvc.ops.precision import policy_from_name
 
+    validator = make_bd_validator(cfg, fam, model, log)
+    bd_ck = None
+    if validator is not None:
+        from tpuvc.eval.bd_rate import ANCHORS
+        from tpuvc.train.trainer import BDCheckpointer
+
+        anchor_bpp, anchor_psnr = ANCHORS["icip2024_train"]
+        bd_ck = BDCheckpointer(
+            anchor_bpp, anchor_psnr,
+            save_fn=lambda state: save_checkpoint(
+                os.path.join(cfg.checkpoint_dir, "best.msgpack"), state
+            ),
+        )
+
     t0 = time.perf_counter()
     for it in range(start_step, cfg.total_steps):
         batch = jnp.asarray(next(batches))
@@ -250,6 +346,15 @@ def main(argv=None):
                 resume, {"params": params, "step": it + 1}
             )
             log.info("checkpointed at step %d", it + 1)
+            if validator is not None:
+                bpps, psnrs = validator(params)
+                if bd_ck.update(
+                    bpps, psnrs, {"params": params, "step": it + 1}
+                ):
+                    log.info(
+                        "BD-rate improved to %.2f%% — saved best.msgpack",
+                        bd_ck.best_bd,
+                    )
 
 
 if __name__ == "__main__":

@@ -141,3 +141,62 @@ class VFrameBitstream:
             z_shape=(zh, zw),
             streams=streams,
         )
+
+
+@dataclass
+class PFrameBitstream:
+    """Coded P-frame container for the OJSP-style DMC codec.
+
+    Mirrors the reference's stream writer (OJSP2025/video_model.py:463-503 +
+    DCVC write_ip): per-frame side info the decoder needs — rate level q
+    (milli fixed-point, the q_index analog), the chosen fractional
+    down-sampling ratio (centi fixed-point, 1.00..8.75), latent z shape —
+    followed by the four rANS streams (mv y, mv z, frame y, frame z).
+
+    Layout (little-endian):
+      uint32 q_milli | uint16 ratio_centi | uint16 zh | uint16 zw |
+      uint32 lengths[4] | stream bytes...
+    """
+
+    q_milli: int
+    ratio_centi: int
+    z_shape: tuple[int, int]
+    streams: list = field(default_factory=list)
+
+    HEADER = "<IHHH"
+
+    @property
+    def num_bytes(self) -> int:
+        return (
+            struct.calcsize(self.HEADER)
+            + 4 * len(self.streams)
+            + sum(len(s) for s in self.streams)
+        )
+
+    def serialize(self) -> bytes:
+        head = struct.pack(
+            self.HEADER,
+            self.q_milli,
+            self.ratio_centi,
+            self.z_shape[0],
+            self.z_shape[1],
+        )
+        lens = struct.pack(
+            f"<{len(self.streams)}I", *[len(s) for s in self.streams]
+        )
+        return head + lens + b"".join(self.streams)
+
+    @classmethod
+    def deserialize(cls, blob: bytes) -> "PFrameBitstream":
+        hsize = struct.calcsize(cls.HEADER)
+        q_milli, rc, zh, zw = struct.unpack(cls.HEADER, blob[:hsize])
+        lens = struct.unpack("<4I", blob[hsize : hsize + 16])
+        off = hsize + 16
+        streams = []
+        for L in lens:
+            streams.append(blob[off : off + L])
+            off += L
+        return cls(
+            q_milli=q_milli, ratio_centi=rc, z_shape=(zh, zw),
+            streams=streams,
+        )

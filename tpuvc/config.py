@@ -76,6 +76,9 @@ class TrainConfig:
     stage2_start: int = 350_000
     grad_clip: float = 1.0
     val_every: int = 10_000
+    #: optional directory of validation sequences (PNG frame dirs); when
+    #: absent, synthetic clips drive the BD-rate checkpointing signal.
+    val_root: str = ""
     seed: int = 0
     checkpoint_dir: str = "checkpoints"
     #: "float32" | "bfloat16": layer compute dtype (tpuvc.ops.precision).

@@ -27,14 +27,12 @@ from tpuvc.ops.deform import DeformConv
 
 
 def _head_to_deform(head):
-    """v3 head layout (m.py:72-86): 216ch = [ox(72) | oy(72) | mask(72)],
-    each 72 = 8 groups x 9 taps -> our deform layout ((dy, dx) per tap) and
-    sigmoid masks."""
-    ox, oy, m = jnp.split(head, 3, axis=-1)
-    b, h, w, _ = ox.shape
-    off = jnp.stack(
-        [oy.reshape(b, h, w, 72), ox.reshape(b, h, w, 72)], axis=-1
-    ).reshape(b, h, w, 144)
+    """v3 head layout (m.py:72-86): per reference, the first 144 of the
+    216 per-ref channels are passed to the deformable conv verbatim and
+    interpreted pairwise as (dy, dx) per (group, tap) — torchvision's
+    layout, which tpuvc.ops.deform shares — and the last 72 are sigmoid
+    masks. Direct slicing keeps imported reference weights bit-faithful."""
+    off, m = head[..., :144], head[..., 144:]
     return off, nn.sigmoid(m)
 
 

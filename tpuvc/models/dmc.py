@@ -86,6 +86,22 @@ class _HyperCoder(nn.Module):
     def aux_loss(self):
         return self.entropy_bottleneck.aux_loss()
 
+    # --- staged methods for the real-bitstream coder ---
+
+    def hyper_analysis(self, y, q=0.0):
+        """(gained y, z) — the stream-path analysis split of __call__."""
+        y = y * self._interp(self.gain, q)
+        z = self.h_a3(nn.relu(self.h_a2(nn.relu(self.h_a1(y)))))
+        return y, z
+
+    def hyper_params(self, z_hat):
+        p = self.h_s3(nn.relu(self.h_s2(nn.relu(self.h_s1(z_hat)))))
+        scales, means = jnp.split(p, 2, axis=-1)
+        return scales, means
+
+    def apply_inv_gain(self, y_hat, q=0.0):
+        return y_hat * self._interp(self.inv_gain, q)
+
 
 class PFrameDMC(nn.Module):
     feat: int = 48
@@ -256,3 +272,231 @@ class PFrameDMC(nn.Module):
 
     def aux_loss(self):
         return self.mv_coder.aux_loss() + self.y_coder.aux_loss()
+
+    # --- staged methods for the real-bitstream coder ---
+
+    def mv_analysis(self, x, ref_frame, ratio: float, q=0.0):
+        """est_mv -> gained mv latent + hyper latent (encoder side)."""
+        est_mv = self.estimate_mv(x, ref_frame, ratio)
+        y = est_mv / ratio
+        for i, l in enumerate(self.mv_g_a):
+            y = l(y) if i == len(self.mv_g_a) - 1 else nn.leaky_relu(l(y))
+        return self.mv_coder.hyper_analysis(y, q=q)
+
+    def mv_params(self, z_hat):
+        return self.mv_coder.hyper_params(z_hat)
+
+    def mv_synthesis(self, y_hat, ratio: float, q=0.0):
+        x = self.mv_coder.apply_inv_gain(y_hat, q=q)
+        for i, l in enumerate(self.mv_g_s):
+            x = l(x) if i == len(self.mv_g_s) - 1 else nn.leaky_relu(l(x))
+        return x * ratio
+
+    def frame_analysis(self, x, context, q=0.0):
+        y = jnp.concatenate([x, context], axis=-1)
+        for l in self.g_a_layers:
+            y = l(y)
+        return self.y_coder.hyper_analysis(y, q=q)
+
+    def frame_params(self, z_hat):
+        return self.y_coder.hyper_params(z_hat)
+
+    def frame_synthesis(self, y_hat, context, q=0.0):
+        f = self.y_coder.apply_inv_gain(y_hat, q=q)
+        for l in self.g_s_layers:
+            f = l(f)
+        f = self.recon_head[0](jnp.concatenate([f, context], axis=-1))
+        for b in self.recon_head[1:]:
+            f = b(f)
+        return self.to_rgb(f), f
+
+
+class PFrameDMCCoder:
+    """Real-bitstream encode/decode for the P-frame DMC codec.
+
+    Mirrors the reference's compress/decompress split
+    (OJSP2025/video_model.py:402-528): transforms and entropy parameters on
+    device, rANS symbol coding on host; the decoder reconstructs the motion-
+    compensated context purely from the DPB and the coded MV, so the stream
+    is self-contained given the reference frame. The fractional down-ratio
+    and q level ride the PFrameBitstream header (the reference sends q_index
+    and the ratio via its frame header the same way).
+    """
+
+    def __init__(self, model: PFrameDMC, variables):
+        from tpuvc.entropy.bottleneck import FactorizedBottleneck, FactorizedTables
+
+        self.model = model
+        self.variables = variables
+        self.gaussian = GaussianConditional()
+        self.y_tables = self.gaussian.build_tables()
+        self.tables = {}
+        for name in ("mv_coder", "y_coder"):
+            eb = FactorizedBottleneck(channels=model.N)
+            self.tables[name] = FactorizedTables.from_module(
+                eb,
+                {
+                    "params": variables["params"][name][
+                        "entropy_bottleneck"
+                    ]
+                },
+            )
+        m = model
+        self._mv_analysis = {}
+        self._mv_params = jax.jit(
+            lambda v, z_hat: m.apply(v, z_hat, method=PFrameDMC.mv_params)
+        )
+        self._mv_synthesis = jax.jit(
+            lambda v, y_hat, ratio, q: m.apply(
+                v, y_hat, ratio, q, method=PFrameDMC.mv_synthesis
+            ),
+            static_argnums=(2,),
+        )
+        self._compensate = jax.jit(
+            lambda v, ref, feat, mv: m.apply(
+                v, ref, feat, mv, method=PFrameDMC.motion_compensate
+            )
+        )
+        self._frame_analysis = jax.jit(
+            lambda v, x, ctx, q: m.apply(
+                v, x, ctx, q, method=PFrameDMC.frame_analysis
+            )
+        )
+        self._frame_params = jax.jit(
+            lambda v, z_hat: m.apply(v, z_hat, method=PFrameDMC.frame_params)
+        )
+        self._frame_synthesis = jax.jit(
+            lambda v, y_hat, ctx, q: m.apply(
+                v, y_hat, ctx, q, method=PFrameDMC.frame_synthesis
+            )
+        )
+
+    def _code_z(self, name, z):
+        import numpy as np
+
+        from tpuvc.coder import encode_with_indexes
+
+        t = self.tables[name]
+        med = jnp.asarray(t.medians)
+        z_sym = np.asarray(quantize(z, "symbols", means=med))
+        z_idx = np.broadcast_to(
+            np.arange(z_sym.shape[-1], dtype=np.int32), z_sym.shape
+        )
+        string = encode_with_indexes(
+            z_sym, z_idx, t.cdfs, t.cdf_lengths, t.offsets
+        )
+        z_hat = jnp.asarray(z_sym, jnp.float32) + med
+        return string, z_hat
+
+    def _decode_z(self, name, string, z_shape, batch=1):
+        import numpy as np
+
+        from tpuvc.coder import decode_with_indexes
+
+        t = self.tables[name]
+        zh, zw = z_shape
+        zc = self.model.N
+        z_idx = np.broadcast_to(
+            np.arange(zc, dtype=np.int32), (batch, zh, zw, zc)
+        )
+        z_sym = decode_with_indexes(
+            string, z_idx, t.cdfs, t.cdf_lengths, t.offsets
+        ).reshape(batch, zh, zw, zc)
+        return jnp.asarray(z_sym, jnp.float32) + jnp.asarray(t.medians)
+
+    def _code_y(self, y, scales, means):
+        import numpy as np
+
+        from tpuvc.coder import encode_with_indexes
+
+        y_idx = np.asarray(self.gaussian.build_indexes(scales))
+        y_sym = np.asarray(quantize(y, "symbols", means=means))
+        string = encode_with_indexes(
+            y_sym, y_idx, self.y_tables.cdfs, self.y_tables.cdf_lengths,
+            self.y_tables.offsets,
+        )
+        y_hat = jnp.asarray(y_sym, jnp.float32) + means
+        return string, y_hat
+
+    def _decode_y(self, string, scales, means):
+        import numpy as np
+
+        from tpuvc.coder import decode_with_indexes
+
+        y_idx = np.asarray(self.gaussian.build_indexes(scales))
+        y_sym = decode_with_indexes(
+            string, y_idx, self.y_tables.cdfs, self.y_tables.cdf_lengths,
+            self.y_tables.offsets,
+        ).reshape(y_idx.shape)
+        return jnp.asarray(y_sym, jnp.float32) + means
+
+    def encode(self, x, dpb: dict, ratio: float = 1.0, q: float = 0.0):
+        """Code one P-frame; returns (PFrameBitstream, new_dpb)."""
+        from tpuvc.coder.container import PFrameBitstream
+
+        m = self.model
+        if ratio not in self._mv_analysis:
+            self._mv_analysis[ratio] = jax.jit(
+                lambda v, x, ref, q, r=ratio: m.apply(
+                    v, x, ref, r, q, method=PFrameDMC.mv_analysis
+                )
+            )
+        ref_frame = dpb["ref_frame"]
+        mv_y, mv_z = self._mv_analysis[ratio](
+            self.variables, x, ref_frame, q
+        )
+        mv_z_str, mv_z_hat = self._code_z("mv_coder", mv_z)
+        scales, means = self._mv_params(self.variables, mv_z_hat)
+        mv_y_str, mv_y_hat = self._code_y(mv_y, scales, means)
+        mv_hat = self._mv_synthesis(self.variables, mv_y_hat, ratio, q)
+
+        context, _ = self._compensate(
+            self.variables, ref_frame, dpb.get("ref_feature"), mv_hat
+        )
+        y, z = self._frame_analysis(self.variables, x, context, q)
+        z_str, z_hat = self._code_z("y_coder", z)
+        scales, means = self._frame_params(self.variables, z_hat)
+        y_str, y_hat = self._code_y(y, scales, means)
+        x_hat, feature = self._frame_synthesis(
+            self.variables, y_hat, context, q
+        )
+        bits = PFrameBitstream(
+            q_milli=int(round(q * 1000)),
+            ratio_centi=int(round(ratio * 100)),
+            z_shape=tuple(int(v) for v in mv_z.shape[1:3]),
+            streams=[mv_y_str, mv_z_str, y_str, z_str],
+        )
+        new_dpb = {
+            "ref_frame": jnp.clip(x_hat, 0.0, 1.0),
+            "ref_feature": feature,
+            "ref_down_ratio": ratio,
+        }
+        return bits, new_dpb
+
+    def decode(self, dpb: dict, bits):
+        """Decode one P-frame from the stream; returns (x_hat, new_dpb)."""
+        q = bits.q_milli / 1000.0
+        ratio = bits.ratio_centi / 100.0
+        mv_y_str, mv_z_str, y_str, z_str = bits.streams
+        batch = dpb["ref_frame"].shape[0]
+
+        mv_z_hat = self._decode_z("mv_coder", mv_z_str, bits.z_shape, batch)
+        scales, means = self._mv_params(self.variables, mv_z_hat)
+        mv_y_hat = self._decode_y(mv_y_str, scales, means)
+        mv_hat = self._mv_synthesis(self.variables, mv_y_hat, ratio, q)
+
+        context, _ = self._compensate(
+            self.variables, dpb["ref_frame"], dpb.get("ref_feature"), mv_hat
+        )
+        z_hat = self._decode_z("y_coder", z_str, bits.z_shape, batch)
+        scales, means = self._frame_params(self.variables, z_hat)
+        y_hat = self._decode_y(y_str, scales, means)
+        x_hat, feature = self._frame_synthesis(
+            self.variables, y_hat, context, q
+        )
+        new_dpb = {
+            "ref_frame": jnp.clip(x_hat, 0.0, 1.0),
+            "ref_feature": feature,
+            "ref_down_ratio": ratio,
+        }
+        return x_hat, new_dpb

@@ -72,7 +72,16 @@ class Conv(nn.Module):
 
 
 class Deconv(nn.Module):
-    """ConvTranspose2d equivalent: upsamples H, W by exactly ``stride``."""
+    """ConvTranspose2d equivalent: upsamples H, W by exactly ``stride``.
+
+    Padding matches torch's ``ConvTranspose2d(padding=k//2,
+    output_padding=stride-1)`` exactly (the reference's ``deconv`` helper,
+    e.g. /root/reference/ICIP2023/src/model/elic.py:59-67): the dilated
+    input is padded ``(k-1-k//2, k-1-k//2+stride-1)`` per spatial dim, so
+    imported reference weights (spatially flipped into HWIO by
+    tpuvc.utils.torch_import) reproduce the reference operator
+    sample-for-sample rather than up to a one-pixel phase shift.
+    """
 
     features: int
     kernel: int = 5
@@ -81,11 +90,13 @@ class Deconv(nn.Module):
     @nn.compact
     def __call__(self, x):
         dt = precision.compute_dtype()
+        lo = self.kernel - 1 - self.kernel // 2
+        hi = lo + self.stride - 1
         y = nn.ConvTranspose(
             self.features,
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
-            padding="SAME",
+            padding=((lo, hi), (lo, hi)),
             dtype=dt,
         )(x if dt is None else x.astype(dt))
         return y if dt is None else y.astype(x.dtype)

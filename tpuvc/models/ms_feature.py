@@ -117,7 +117,8 @@ class Reconstructor(nn.Module):
 
 
 class ReconstructorDeconv(nn.Module):
-    """v3 variant using transposed convs (ICIP2023/src/model/helpers.py:55-91)."""
+    """v3 variant using transposed convs (ICIP2023/src/model/helpers.py:55-91;
+    the reference's deconvs are kernel_size=3)."""
 
     channels: tuple[int, int, int] = (32, 64, 96)
 
@@ -127,14 +128,14 @@ class ReconstructorDeconv(nn.Module):
         l3 = x3
         for _ in range(3):
             l3 = ResidualBottleneckBlock(c3)(l3)
-        l3 = Deconv(c3, kernel=5, stride=2)(l3)
+        l3 = Deconv(c3, kernel=3, stride=2)(l3)
 
         l2 = Conv(c2, kernel=1, stride=1)(jnp.concatenate([x2, l3], axis=-1))
         for _ in range(3):
             l2 = ResidualBottleneckBlock(c2)(l2)
-        l2 = Deconv(c2, kernel=5, stride=2)(l2)
+        l2 = Deconv(c2, kernel=3, stride=2)(l2)
 
         l1 = Conv(c1, kernel=1, stride=1)(jnp.concatenate([x1, l2], axis=-1))
         for _ in range(3):
             l1 = ResidualBottleneckBlock(c1)(l1)
-        return Deconv(3, kernel=5, stride=2)(l1)
+        return Deconv(3, kernel=3, stride=2)(l1)

@@ -60,7 +60,23 @@ _SKIP_SUFFIXES = (
     "_cdf_length",
     "target",
     "scale_table",
+    ".mask",  # CheckerboardContext mask buffer (ICIP2023/src/model/layers.py:21)
 )
+
+# Dead parameters the reference carries but never calls: ELIC and the
+# Offset/Res bottlenecks subclass compressai's JointAutoregressiveHierarchical-
+# Priors, whose parent __init__ builds a masked-conv `context_prediction`
+# (replaced in the subclasses by `context_prediction_models`) — its weights
+# sit unused in every checkpoint.
+_DEAD_PREFIX_PARTS = ("context_prediction.",)
+
+
+def _mark_skips(sd, rep: ImportReport) -> None:
+    for k in sd:
+        if k.endswith(_SKIP_SUFFIXES) or any(
+            p in k for p in _DEAD_PREFIX_PARTS
+        ):
+            rep.skipped.append(k)
 
 
 def _conv(sd, rep: ImportReport, tkey: str) -> dict:
@@ -197,9 +213,7 @@ def import_lhbdc_state_dict(sd: Mapping[str, Any]):
     if "state_dict" in sd and not hasattr(sd["state_dict"], "shape"):
         sd = sd["state_dict"]
     rep = ImportReport()
-    for k in sd:
-        if k.endswith(_SKIP_SUFFIXES):
-            rep.skipped.append(k)
+    _mark_skips(sd, rep)
     params = {
         "flownet": _spynet(sd, rep, "FlowNet"),
         "mv_compressor": _hyperprior(sd, rep, "mv_compressor"),
@@ -252,9 +266,7 @@ def import_flexrate_state_dict(sd: Mapping[str, Any]):
     if "state_dict" in sd and not hasattr(sd["state_dict"], "shape"):
         sd = sd["state_dict"]
     rep = ImportReport()
-    for k in sd:
-        if k.endswith(_SKIP_SUFFIXES):
-            rep.skipped.append(k)
+    _mark_skips(sd, rep)
 
     def gained(tkey):
         out = _hyperprior(sd, rep, tkey)
@@ -272,19 +284,345 @@ def import_flexrate_state_dict(sd: Mapping[str, Any]):
     return params, rep
 
 
+# --- v3/v4 (ICIP2023/ICIP2024) + ELIC intra -------------------------------
+#
+# Reference module topologies: ELIC ICIP2023/src/model/elic.py:87-202,
+# Offset/Res ELIC ICIP2023/src/model/offset_res_elic.py:72-461 and
+# ICIP2024/src/model/compression_bottlenecks.py:72-460, helper nets
+# ICIP2023/src/model/helpers.py:15-147 / ICIP2024/src/model/helpers.py:35-262,
+# whole models ICIP2023/src/model/m.py:19-39 / ICIP2024/src/model/m.py:31-49.
+
+
+def _deconv(sd, rep: ImportReport, tkey: str) -> dict:
+    """torch ConvTranspose2d(padding=k//2, output_padding=s-1) -> tpuvc
+    Deconv. Weight (I, O, kH, kW) -> HWIO with a spatial flip; combined with
+    Deconv's explicit (k-1-k//2, k-1-k//2+s-1) padding the operator matches
+    torch sample-for-sample (validated in tests/test_torch_import_v34.py)."""
+    w = _np(sd[f"{tkey}.weight"])
+    rep.used.add(f"{tkey}.weight")
+    kern = np.ascontiguousarray(w.transpose(2, 3, 0, 1)[::-1, ::-1])
+    bkey = f"{tkey}.bias"
+    if bkey in sd:
+        rep.used.add(bkey)
+        bias = _np(sd[bkey])
+    else:
+        bias = np.zeros(kern.shape[-1], np.float32)
+    return {"ConvTranspose_0": {"kernel": kern, "bias": bias}}
+
+
+def _rbb(sd, rep, tkey: str) -> dict:
+    """ELIC ResidualBottleneckBlock (elic.py:69-84): Sequential indices
+    0/2/4 are the 1x1-3x3-1x1 convs."""
+    return {
+        f"Conv_{j}": _conv(sd, rep, f"{tkey}.BottleneckBlock.{2 * j}")
+        for j in range(3)
+    }
+
+
+def _res_unit(sd, rep, tkey: str) -> dict:
+    return {
+        f"Conv_{j}": _conv(sd, rep, f"{tkey}.conv.{2 * j}") for j in range(3)
+    }
+
+
+def _attention(sd, rep, tkey: str) -> dict:
+    """compressai AttentionBlock: conv_a = 3 residual units, conv_b = 3
+    residual units + 1x1 conv."""
+    out = {}
+    for i in range(3):
+        out[f"ResidualUnit_{i}"] = _res_unit(sd, rep, f"{tkey}.conv_a.{i}")
+    for i in range(3):
+        out[f"ResidualUnit_{i + 3}"] = _res_unit(sd, rep, f"{tkey}.conv_b.{i}")
+    out["Conv_0"] = _conv(sd, rep, f"{tkey}.conv_b.3")
+    return out
+
+
+def _conv_rbb(sd, rep, tkey: str, blocks: int = 3) -> dict:
+    """Sequential(conv, RBB x blocks) -> tpuvc _ConvRBB."""
+    out = {"Conv_0": _conv(sd, rep, f"{tkey}.0")}
+    for i in range(blocks):
+        out[f"ResidualBottleneckBlock_{i}"] = _rbb(sd, rep, f"{tkey}.{i + 1}")
+    return out
+
+
+def _checkerboard(sd, rep, tkey: str) -> dict:
+    out = _conv(sd, rep, tkey)
+    return {"kernel": out["kernel"], "bias": out["bias"]}
+
+
+def _triple_conv(sd, rep, tkey: str) -> dict:
+    """Sequential(conv, act, conv, act, conv) -> Conv_0..2 (entropy params /
+    channel context stacks)."""
+    return {
+        f"Conv_{j}": _conv(sd, rep, f"{tkey}.{2 * j}") for j in range(3)
+    }
+
+
+def import_elic_state_dict(sd: Mapping[str, Any]):
+    """Reference ELIC intra codec state dict -> (flax params, report)."""
+    if "state_dict" in sd and not hasattr(sd["state_dict"], "shape"):
+        sd = sd["state_dict"]
+    rep = ImportReport()
+    _mark_skips(sd, rep)
+
+    def seq(tkey, kinds):
+        out = {}
+        for i, kind in enumerate(kinds):
+            src = f"{tkey}.{i}"
+            if kind == "conv":
+                out[f"{tkey}_layers_{i}"] = _conv(sd, rep, src)
+            elif kind == "deconv":
+                out[f"{tkey}_layers_{i}"] = _deconv(sd, rep, src)
+            elif kind == "rbb":
+                out[f"{tkey}_layers_{i}"] = _rbb(sd, rep, src)
+            elif kind == "attn":
+                out[f"{tkey}_layers_{i}"] = _attention(sd, rep, src)
+        return out
+
+    c, r, a, d = "conv", "rbb", "attn", "deconv"
+    params = {}
+    params.update(seq("g_a", [c, r, r, r, c, r, r, r, a, c, r, r, r, c, a]))
+    params.update(seq("g_s", [a, d, r, r, r, d, a, r, r, r, d, r, r, r, d]))
+    for j in range(3):
+        params[f"h_a_layers_{j}"] = _conv(sd, rep, f"h_a.{2 * j}")
+    params["h_s_layers_0"] = _deconv(sd, rep, "h_s.0")
+    params["h_s_layers_1"] = _deconv(sd, rep, "h_s.2")
+    params["h_s_layers_2"] = _conv(sd, rep, "h_s.4")
+    for i in range(5):
+        params[f"entropy_parameters_{i}"] = _triple_conv(
+            sd, rep, f"entropy_parameters.{i}"
+        )
+        params[f"context_prediction_models_{i}"] = _checkerboard(
+            sd, rep, f"context_prediction_models.{i}"
+        )
+    for i in range(4):
+        params[f"channel_context_models_{i}"] = _triple_conv(
+            sd, rep, f"channel_context_models.{i}"
+        )
+    params["entropy_bottleneck"] = _entropy_bottleneck(
+        sd, rep, "entropy_bottleneck"
+    )
+    return params, rep
+
+
+def _cond_elic(sd, rep, tkey: str, pixel_stage: bool = False) -> dict:
+    """Offset_ELIC / Res_ELIC -> tpuvc CondELIC parameter tree."""
+    p: dict[str, Any] = {}
+    if pixel_stage:
+        p["g_a0"] = _conv_rbb(sd, rep, f"{tkey}.g_a0")
+    for i in (1, 2, 3):
+        p[f"g_a{i}"] = _conv_rbb(sd, rep, f"{tkey}.g_a{i}")
+    for i in range(3):
+        p[f"g_s3_blocks_{i}"] = _rbb(sd, rep, f"{tkey}.g_s3.{i}")
+    p["g_s3_up"] = _deconv(sd, rep, f"{tkey}.g_s3.3")
+    for name in ("g_o1", "g_o2", "g_o3"):
+        p[name] = {
+            "Conv_0": _conv(sd, rep, f"{tkey}.{name}.0"),
+            **{
+                f"ResidualBottleneckBlock_{i}": _rbb(
+                    sd, rep, f"{tkey}.{name}.{i + 1}"
+                )
+                for i in range(3)
+            },
+            "Conv_1": _conv(sd, rep, f"{tkey}.{name}.4"),
+        }
+    for name in ("g_s1", "g_s2"):
+        p[name] = {
+            "Conv_0": _conv(sd, rep, f"{tkey}.{name}.0"),
+            **{
+                f"ResidualBottleneckBlock_{i}": _rbb(
+                    sd, rep, f"{tkey}.{name}.{i + 1}"
+                )
+                for i in range(3)
+            },
+            "Deconv_0": _deconv(sd, rep, f"{tkey}.{name}.4"),
+        }
+    for j in range(3):
+        p[f"h_a{j + 1}"] = _conv(sd, rep, f"{tkey}.h_a.{2 * j}")
+    p["h_s1"] = _deconv(sd, rep, f"{tkey}.h_s.0")
+    p["h_s2"] = _deconv(sd, rep, f"{tkey}.h_s.2")
+    p["h_s3"] = _conv(sd, rep, f"{tkey}.h_s.4")
+    p["prior_fusion_in"] = _conv(sd, rep, f"{tkey}.prior_fusion.0")
+    for i in range(3):
+        p[f"prior_fusion_blocks_{i}"] = _rbb(
+            sd, rep, f"{tkey}.prior_fusion.{i + 1}"
+        )
+    p["prior_fusion_out"] = _conv(sd, rep, f"{tkey}.prior_fusion.4")
+    for i in range(5):
+        p[f"entropy_parameters_{i}"] = _triple_conv(
+            sd, rep, f"{tkey}.entropy_parameters.{i}"
+        )
+        p[f"context_prediction_models_{i}"] = _checkerboard(
+            sd, rep, f"{tkey}.context_prediction_models.{i}"
+        )
+    for i in range(4):
+        p[f"channel_context_models_{i}"] = _triple_conv(
+            sd, rep, f"{tkey}.channel_context_models.{i}"
+        )
+    for g in ("Gain", "InverseGain", "HyperGain", "InverseHyperGain"):
+        p[g] = _np(sd[f"{tkey}.{g}"])
+        rep.used.add(f"{tkey}.{g}")
+    p["entropy_bottleneck"] = _entropy_bottleneck(
+        sd, rep, f"{tkey}.entropy_bottleneck"
+    )
+    return p
+
+
+def _deform_weight(sd, rep, tkey: str) -> dict:
+    """torchvision DeformConv2d weight (O, I/G, kH, kW) -> tpuvc (kH, kW,
+    I/G, O); offsets/masks share torchvision's channel layout already."""
+    w = _np(sd[f"{tkey}.weight"])
+    rep.used.add(f"{tkey}.weight")
+    out = {"weight": np.ascontiguousarray(w.transpose(2, 3, 1, 0))}
+    bkey = f"{tkey}.bias"
+    if bkey in sd:
+        rep.used.add(bkey)
+        out["bias"] = _np(sd[bkey])
+    else:
+        out["bias"] = np.zeros(w.shape[0], np.float32)
+    return out
+
+
+def _ms_feature(sd, rep, tkey: str) -> dict:
+    return {
+        f"_ConvRBB_{i}": _conv_rbb(sd, rep, f"{tkey}.layer{i + 1}")
+        for i in range(3)
+    }
+
+
+def _temporal_enc(sd, rep, tkey: str) -> dict:
+    return {
+        f"_ConvRBB_{i}": _conv_rbb(sd, rep, f"{tkey}.g_a{i + 1}")
+        for i in range(3)
+    }
+
+
+def _reconstructor(sd, rep, tkey: str, subpel: bool) -> dict:
+    """Reconstuctor layer3->layer1 top-down decoder. v4 ends each stage with
+    a subpel conv, v3 with a k=3 deconv; in tpuvc's call order the RBBs
+    number 0..8 straight through and the 1x1 fusion convs are Conv_0/Conv_1."""
+    p: dict[str, Any] = {}
+    rbb = 0
+    for stage, layer in enumerate(("layer3", "layer2", "layer1")):
+        base = 0
+        if stage > 0:
+            p[f"Conv_{stage - 1}"] = _conv(sd, rep, f"{tkey}.{layer}.0")
+            base = 1
+        for _ in range(3):
+            p[f"ResidualBottleneckBlock_{rbb}"] = _rbb(
+                sd, rep, f"{tkey}.{layer}.{base + (rbb % 3)}"
+            )
+            rbb += 1
+        tail = f"{tkey}.{layer}.{base + 3}"
+        if subpel:
+            p[f"SubpelConv_{stage}"] = {"Conv_0": _conv(sd, rep, f"{tail}.0")}
+        else:
+            p[f"Deconv_{stage}"] = _deconv(sd, rep, tail)
+    return p
+
+
+def _flownet(sd, rep, tkey: str) -> dict:
+    """FlowNET (ICIP2024/src/model/helpers.py:110-166): 4 down stages then
+    4 up stages; tpuvc interleaves the 1x1 fusion convs between up stages
+    (same function, Conv_i named in call order)."""
+    p: dict[str, Any] = {}
+    for i in range(4):
+        p[f"_ConvRBB_{i}"] = _conv_rbb(sd, rep, f"{tkey}.down{i}", blocks=2)
+    rbb = 0
+    for u in range(4):
+        base = 0
+        if u > 0:
+            p[f"Conv_{u - 1}"] = _conv(sd, rep, f"{tkey}.up{u}.0")
+            base = 1
+        for _ in range(2):
+            p[f"ResidualBottleneckBlock_{rbb}"] = _rbb(
+                sd, rep, f"{tkey}.up{u}.{base + (rbb % 2)}"
+            )
+            rbb += 1
+        p[f"SubpelConv_{u}"] = {
+            "Conv_0": _conv(sd, rep, f"{tkey}.up{u}.{base + 2}.0")
+        }
+    return p
+
+
+def import_deform_b_state_dict(sd: Mapping[str, Any]):
+    """Reference DeformB (ICIP2023) state dict -> (flax params, report)."""
+    if "state_dict" in sd and not hasattr(sd["state_dict"], "shape"):
+        sd = sd["state_dict"]
+    rep = ImportReport()
+    _mark_skips(sd, rep)
+    params = {
+        "feature_extractor": _ms_feature(sd, rep, "feature_extractor"),
+        "offset_temp_encoder": _temporal_enc(sd, rep, "offset_temp_encoder"),
+        "offset_compressor": _cond_elic(sd, rep, "offset_compressor"),
+        "residual_temp_encoder": _temporal_enc(
+            sd, rep, "residual_temp_encoder"
+        ),
+        "residual_compressor": _cond_elic(
+            sd, rep, "residual_compressor", pixel_stage=True
+        ),
+        "reconstructor": _reconstructor(sd, rep, "reconstructor", subpel=False),
+    }
+    for lv in (1, 2, 3):
+        for r in (1, 2):
+            name = f"deconv_l{lv}_{r}"
+            params[name] = _deform_weight(sd, rep, name)
+    return params, rep
+
+
+def import_flowguided_state_dict(sd: Mapping[str, Any]):
+    """Reference FlowGuidedB (ICIP2024) state dict -> (flax params, report)."""
+    if "state_dict" in sd and not hasattr(sd["state_dict"], "shape"):
+        sd = sd["state_dict"]
+    rep = ImportReport()
+    _mark_skips(sd, rep)
+    params = {
+        "feature_extractor": _ms_feature(sd, rep, "feature_extractor"),
+        "flow_estimator": _flownet(sd, rep, "flow_estimator"),
+        "offset_temporal_conditioner": _temporal_enc(
+            sd, rep, "offset_temporal_conditioner"
+        ),
+        "offset_compressor": _cond_elic(sd, rep, "offset_compressor"),
+        "residue_temporal_conditioner": _temporal_enc(
+            sd, rep, "residue_temporal_conditioner"
+        ),
+        "residual_compressor": _cond_elic(sd, rep, "residual_compressor"),
+        "reconstructor": _reconstructor(sd, rep, "reconstructor", subpel=True),
+    }
+    for lv in (1, 2, 3):
+        params[f"offset_diversity_l{lv}"] = {
+            "DeformConv_0": _deform_weight(
+                sd, rep, f"offset_diversity_l{lv}.fusion"
+            )
+        }
+    return params, rep
+
+
 _IMPORTERS = {
     "lhbdc": import_lhbdc_state_dict,
     "flexrate": import_flexrate_state_dict,
+    "elic": import_elic_state_dict,
+    "deform_b": import_deform_b_state_dict,
+    "icip2023": import_deform_b_state_dict,
+    "flowguided": import_flowguided_state_dict,
+    "icip2024": import_flowguided_state_dict,
 }
 
 
 def load_pth(path: str, family: str = "lhbdc"):
     """Load a reference ``.pth`` via torch (CPU) and convert.
-    Returns (params, report)."""
+    Returns (params, report); ``report.unmapped`` lists any source keys the
+    mapping did not consume (should be empty for genuine reference ckpts)."""
     import torch
 
     sd = torch.load(path, map_location="cpu")
-    return _IMPORTERS[family](sd)
+    if "state_dict" in sd and not hasattr(sd["state_dict"], "shape"):
+        flat = sd["state_dict"]
+    else:
+        flat = sd
+    params, report = _IMPORTERS[family](sd)
+    report.unmapped = report.unused(flat)
+    return params, report
 
 
 def load_lhbdc_pth(path: str):
