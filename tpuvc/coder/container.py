@@ -200,3 +200,109 @@ class PFrameBitstream:
             q_milli=q_milli, ratio_centi=rc, z_shape=(zh, zw),
             streams=streams,
         )
+
+
+@dataclass
+class IFrameBitstream:
+    """Coded intra frame: the ELIC stream set (10 group strings + z).
+
+    The reference never defines an I-frame container (its eval uses
+    likelihood bits and its encode_B CLI codes only B-frames); this wraps
+    tpuvc's ELICCoder.compress output so intra frames can ride the same
+    sequence-level files as inter frames.
+
+    Layout (little-endian):
+      uint16 zh | uint16 zw | uint8 n_streams | uint32 lengths[n] | bytes...
+    The z string is always the last stream.
+    """
+
+    z_shape: tuple[int, int]
+    streams: list = field(default_factory=list)
+
+    HEADER = "<HHB"
+
+    def serialize(self) -> bytes:
+        head = struct.pack(
+            self.HEADER, self.z_shape[0], self.z_shape[1], len(self.streams)
+        )
+        lens = struct.pack(
+            f"<{len(self.streams)}I", *[len(s) for s in self.streams]
+        )
+        return head + lens + b"".join(self.streams)
+
+    @classmethod
+    def deserialize(cls, blob: bytes) -> "IFrameBitstream":
+        hsize = struct.calcsize(cls.HEADER)
+        zh, zw, n = struct.unpack(cls.HEADER, blob[:hsize])
+        lens = struct.unpack(f"<{n}I", blob[hsize : hsize + 4 * n])
+        off = hsize + 4 * n
+        streams = []
+        for L in lens:
+            streams.append(blob[off : off + L])
+            off += L
+        return cls(z_shape=(zh, zw), streams=streams)
+
+    @classmethod
+    def from_compress(cls, out: dict) -> "IFrameBitstream":
+        """Wrap an ELICCoder.compress result dict."""
+        y_strings, z_string = out["strings"]
+        return cls(
+            z_shape=tuple(int(v) for v in out["shape"]),
+            streams=list(y_strings) + [z_string],
+        )
+
+    def to_strings(self):
+        """-> (y_strings, z_string) for ELICCoder.decompress."""
+        return list(self.streams[:-1]), self.streams[-1]
+
+
+@dataclass
+class PSequenceBitstream:
+    """Whole low-delay coded sequence: I-frames (ELIC) + chained P-frames
+    (DMC), the file the OJSP-style encode/decode CLIs exchange.
+
+    Layout: b"TPS1" | uint16 width | uint16 height | uint16 n_frames |
+    per frame: uint8 type (0=I, 1=P) | uint32 length | blob.
+    width/height are the *unpadded* display size; frames are coded padded
+    to x64 and cropped on decode.
+    """
+
+    width: int
+    height: int
+    frames: list = field(default_factory=list)  # [(type_str, blob)]
+
+    MAGIC = b"TPS1"
+    HEADER = "<4sHHH"
+
+    @property
+    def num_bytes(self) -> int:
+        return struct.calcsize(self.HEADER) + sum(
+            5 + len(b) for _, b in self.frames
+        )
+
+    def serialize(self) -> bytes:
+        out = [
+            struct.pack(
+                self.HEADER, self.MAGIC, self.width, self.height,
+                len(self.frames),
+            )
+        ]
+        for typ, blob in self.frames:
+            out.append(struct.pack("<BI", 0 if typ == "I" else 1, len(blob)))
+            out.append(blob)
+        return b"".join(out)
+
+    @classmethod
+    def deserialize(cls, blob: bytes) -> "PSequenceBitstream":
+        hsize = struct.calcsize(cls.HEADER)
+        magic, w, h, n = struct.unpack(cls.HEADER, blob[:hsize])
+        if magic != cls.MAGIC:
+            raise ValueError(f"bad sequence magic: {magic!r}")
+        off = hsize
+        frames = []
+        for _ in range(n):
+            t, L = struct.unpack("<BI", blob[off : off + 5])
+            off += 5
+            frames.append(("I" if t == 0 else "P", blob[off : off + L]))
+            off += L
+        return cls(width=w, height=h, frames=frames)

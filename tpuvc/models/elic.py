@@ -365,6 +365,11 @@ class ELICCoder:
             "y_hat": jnp.concatenate(groups_hat, axis=-1),
         }
 
+    def synthesize(self, y_hat):
+        """Decoded image from the quantized latent (the encoder-side
+        reconstruction: must equal what decompress produces)."""
+        return self._synthesis(self.variables, y_hat)
+
     def decompress(self, strings, shape, batch: int = 1):
         from tpuvc.coder import decode_with_indexes
 
