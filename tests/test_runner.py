@@ -52,3 +52,26 @@ class TestEvalSequence:
         # Coding order respected: every B coded after its refs existed.
         per_level = info.per_level()
         assert len(per_level) == 1
+
+    def test_msssim_column(self):
+        """compute_msssim=True records a finite msssim per frame in the
+        ledger (the LHBDC MS-SSIM RD protocol)."""
+        seq = SyntheticSequence(n_frames=3, h=176, w=176)
+        frames = [jnp.asarray(seq[i]) for i in range(len(seq))]
+        order, typ = [0, 2, 1], ["I", "B", "I"]
+
+        def intra_fn(xf):
+            return jnp.clip(xf + 0.01, 0, 1), 1000.0
+
+        def inter_fn(r1, r2, xc, order, o1, o2):
+            return jnp.clip(xc + 0.02, 0, 1), 500.0
+
+        info = TestInfographic(extra_columns=("msssim",))
+        eval_sequence(
+            frames, order, typ, intra_fn, inter_fn, crop_hw=seq.size,
+            video="synt", level=0, info=info, compute_msssim=True,
+        )
+        df = info.dataframe()
+        assert "msssim" in df.columns
+        assert df["msssim"].between(0.0, 1.0).all()
+        assert df["msssim"].notna().all()

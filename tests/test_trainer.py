@@ -125,3 +125,60 @@ class TestBDCheckpointer:
 
         assert not ck.update([0.05, 0.1, 0.2], [35.0, 37.0, 39.0], "b")
         assert saved == ["a"]
+
+
+class TestMsSsimObjective:
+    def test_rd_loss_msssim_differentiable(self, rng):
+        from tpuvc.train.loss import rd_loss_msssim
+
+        x = jnp.asarray(rng.random((1, 192, 192, 3), dtype=np.float32))
+        noise = jnp.asarray(
+            0.05 * rng.standard_normal((1, 192, 192, 3)).astype(np.float32)
+        )
+
+        def f(eps):
+            loss, d = rd_loss_msssim(x + eps * noise, x, 0.1, alpha=8.73)
+            return loss
+
+        g = jax.grad(f)(0.3)
+        assert np.isfinite(float(g))
+        # distortion grows with the perturbation
+        assert f(0.5) > f(0.1)
+
+    def test_msssim_grad_finite_on_uncorrelated_input(self, rng):
+        # Early in training x_hat is ~uncorrelated with x; the
+        # contrast-structure term can clamp at its epsilon floor and
+        # v**w must not produce an infinite gradient there.
+        from tpuvc.train.loss import rd_loss_msssim
+
+        x = jnp.asarray(rng.random((1, 192, 192, 3), dtype=np.float32))
+
+        def f(c):
+            loss, _ = rd_loss_msssim(
+                jnp.full_like(x, 0.5) * c, x, 0.0, alpha=8.73
+            )
+            return loss
+
+        g = jax.grad(f)(1.0)
+        assert np.isfinite(float(g))
+
+    def test_lhbdc_step_ms_ssim(self, rng):
+        from tpuvc.models.lhbdc import LHBDC
+
+        model = LHBDC(N=16)
+        x = jnp.zeros((1, 192, 192, 3), jnp.float32)
+        variables = model.init(jax.random.key(0), x, x, x, "dequantize")
+        tx = make_optimizer(lr_drop_step=None)
+        state = init_state(variables["params"], tx)
+        step = make_lhbdc_step(model, tx, alpha=8.73, distortion="ms_ssim")
+
+        ds = SyntheticSeptuplets(n=2, size=224)
+        it = make_batch_iterator(ds, batch_size=1, crop=192, n_frames=3)
+        params, opt, metrics = step(
+            state.params, state.opt_state, jnp.asarray(next(it)),
+            jax.random.key(1),
+        )
+        assert np.isfinite(float(metrics["loss"]))
+        assert 0.0 <= float(metrics["mse"]) <= 1.0  # 1 - MS-SSIM in [0, 1]
+        p0 = jax.tree.leaves(state.params)[0]
+        assert float(jnp.abs(jax.tree.leaves(params)[0] - p0).sum()) > 0

@@ -203,7 +203,9 @@ def main(argv=None):
         inter_pack = (inter_pack[0], {"params": load_checkpoint(inter_ck)["params"]})
         print(f"loaded inter weights from {inter_ck}")
 
-    info = TestInfographic()
+    info = TestInfographic(
+        extra_columns=("msssim",) if cfg.eval_msssim else ()
+    )
 
     from tpuvc.ops.precision import policy_from_name
 
@@ -254,6 +256,7 @@ def _run_levels(cfg, intra_pack, inter_pack, info):
             psnrs, sizes = eval_sequence(
                 _Device(), order, typ, intra_fn, inter_fn,
                 crop_hw=frames.size, video=seq, level=level, info=info,
+                compute_msssim=cfg.eval_msssim,
             )
             print(
                 f"level {level} {seq}: psnr "

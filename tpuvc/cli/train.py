@@ -181,7 +181,9 @@ def main(argv=None):
 
         model = LHBDC(N=cfg.model.N)
         variables = model.init(rng, x0, x0, x0, "dequantize")
-        step_fn = make_lhbdc_step(model, tx, alpha=1626.0)
+        step_fn = make_lhbdc_step(
+            model, tx, alpha=cfg.alpha, distortion=cfg.distortion
+        )
 
         def run_step(params, opt, batch, key, it):
             return step_fn(params, opt, batch, key)
@@ -278,7 +280,8 @@ def main(argv=None):
             return model.apply({"params": params}, method=aux_cls.aux_loss)
 
         rec_step = make_recursive_step(
-            code_fn, aux_fn, tx, beta=0.04, remat=True
+            code_fn, aux_fn, tx, beta=cfg.beta, remat=True,
+            distortion=cfg.distortion,
         )
 
         def run_step(params, opt, batch, key, it):

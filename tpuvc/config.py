@@ -57,6 +57,9 @@ class TestConfig:
     results_csv: str = "results.csv"
     seed: int = 0
     adaptive_down_ratio: bool = True
+    #: also record MS-SSIM per frame (the LHBDC MS-SSIM RD protocol,
+    #: LHBDC/results/mssim_bpp.txt) in the infographic ledger.
+    eval_msssim: bool = False
     device_count: int = 1
     output_dir: str = "outputs"
     #: "float32" | "bfloat16": layer compute dtype (tpuvc.ops.precision).
@@ -75,6 +78,15 @@ class TrainConfig:
     total_steps: int = 750_000
     stage2_start: int = 350_000
     grad_clip: float = 1.0
+    #: 'mse' (reference objective) | 'ms_ssim' (1 - MS-SSIM distortion,
+    #: the objective behind the reference's published MS-SSIM curves;
+    #: needs crop >= 176).
+    distortion: str = "mse"
+    #: LHBDC-family rate weight (lambda, LHBDC/encode_B.py:27); for
+    #: ms_ssim use an MSSSIM_ALPHAS point (tpuvc.train.loss).
+    alpha: float = 1626.0
+    #: recursive-trainer rate weight (beta, ICIP2024 config.py:42).
+    beta: float = 0.04
     val_every: int = 10_000
     #: optional directory of validation sequences (PNG frame dirs); when
     #: absent, synthetic clips drive the BD-rate checkpointing signal.

@@ -95,5 +95,8 @@ def msssim(a: jnp.ndarray, b: jnp.ndarray, data_range: float = 1.0) -> jnp.ndarr
             b = avg_pool2d(b, 2)
     out = jnp.ones(())
     for w, v in zip(_MSSSIM_WEIGHTS, vals):
-        out = out * jnp.maximum(v, 0.0) ** w
+        # Clamp away from 0: v**w has an infinite gradient at v=0, and the
+        # contrast-structure term can go negative on uncorrelated inputs
+        # (early training under the MS-SSIM objective).
+        out = out * jnp.maximum(v, 1e-6) ** w
     return out

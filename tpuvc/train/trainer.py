@@ -76,20 +76,25 @@ def init_state(params, tx) -> TrainState:
     return TrainState(params=params, opt_state=tx.init(params), step=0)
 
 
-def make_lhbdc_step(model, tx, alpha: float):
+def make_lhbdc_step(model, tx, alpha: float, distortion: str = "mse"):
     """Single-B training step for LHBDC-style codecs.
 
     batch: (B, 3, H, W, C) triplets [before, current, after].
+    distortion: 'mse' (reference T1 objective) or 'ms_ssim'
+    (alpha * (1 - MS-SSIM) + rate; needs crops >= 176 px).
     """
+    from tpuvc.train.loss import distortion_fn
+
+    dist, _ = distortion_fn(distortion)
 
     def loss_fn(params, batch, rng):
         xb, xc, xa = batch[:, 0], batch[:, 1], batch[:, 2]
         out = model.apply({"params": params}, xb, xc, xa, "noise", rng=rng)
-        mse = jnp.mean((out["x_hat"] - xc) ** 2)
+        d = dist(out["x_hat"], xc)
         rate = jnp.mean(out["rate"])
         aux = model.apply({"params": params}, method=type(model).aux_loss)
-        loss = alpha * mse + rate + aux
-        return loss, {"mse": mse, "rate": rate, "aux": aux}
+        loss = alpha * d + rate + aux
+        return loss, {"mse": d, "rate": rate, "aux": aux}
 
     @jax.jit
     def step(state_params, state_opt, batch, rng):
@@ -111,6 +116,7 @@ def make_recursive_step(
     beta: float,
     intra_fn: Callable | None = None,
     remat: bool = True,
+    distortion: str = "mse",
 ):
     """Two-stage recursive training step (ICIP2024 style).
 
@@ -132,6 +138,9 @@ def make_recursive_step(
         if remat
         else code_fn
     )
+    from tpuvc.train.loss import distortion_fn
+
+    dist, dist_scale = distortion_fn(distortion)
 
     def loss_fn(params, batch, rng, stage2, level, down_ratio):
         f = [batch[:, i] for i in range(5)]
@@ -140,9 +149,7 @@ def make_recursive_step(
         r = jax.random.split(rng, 3)
 
         def rd(x_hat, x, rate):
-            return beta * (255.0**2) * jnp.mean((x_hat - x) ** 2) + jnp.mean(
-                rate
-            )
+            return beta * dist_scale * dist(x_hat, x) + jnp.mean(rate)
 
         x3, rate3 = coded(
             params, dec1, dec5, f[2], r[0], 2, 0, 4, level, down_ratio
