@@ -182,3 +182,69 @@ class TestMsSsimObjective:
         assert 0.0 <= float(metrics["mse"]) <= 1.0  # 1 - MS-SSIM in [0, 1]
         p0 = jax.tree.leaves(state.params)[0]
         assert float(jnp.abs(jax.tree.leaves(params)[0] - p0).sum()) > 0
+
+
+class TestDmcTrainer:
+    def test_cascaded_step_updates_params(self, rng):
+        from tpuvc.models.dmc import PFrameDMC
+        from tpuvc.train.trainer import make_dmc_step
+
+        model = PFrameDMC(feat=8, N=16)
+        x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        variables = model.init(
+            jax.random.key(0), x,
+            {"ref_frame": x, "ref_feature": None, "ref_down_ratio": 1.0},
+            ratio=1.0, mode="dequantize",
+        )
+        tx = make_optimizer(lr_drop_step=None)
+        state = init_state(variables["params"], tx)
+        step = make_dmc_step(model, tx, beta=0.04, n_pframes=2,
+                             warp_weight=0.1)
+
+        ds = SyntheticSeptuplets(n=2, size=80)
+        it = make_batch_iterator(ds, batch_size=2, crop=64, n_frames=3)
+        batch = jnp.asarray(next(it))
+        params, opt, metrics = step(
+            state.params, state.opt_state, batch, jax.random.key(1), 0.0
+        )
+        assert np.isfinite(float(metrics["loss"]))
+        assert float(metrics["rate"]) > 0
+        p0 = jax.tree.leaves(state.params)[0]
+        assert float(jnp.abs(jax.tree.leaves(params)[0] - p0).sum()) > 0
+        # q is traced: a different (fractional) level reuses the same
+        # compiled graph and still yields finite metrics.
+        _, _, m2 = step(params, opt, batch, jax.random.key(2), 1.5)
+        assert np.isfinite(float(m2["loss"]))
+
+    def test_quantile_params_receive_aux_updates(self, rng):
+        from tpuvc.models.dmc import PFrameDMC
+        from tpuvc.train.trainer import make_dmc_step
+
+        model = PFrameDMC(feat=8, N=16)
+        x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        variables = model.init(
+            jax.random.key(0), x,
+            {"ref_frame": x, "ref_feature": None, "ref_down_ratio": 1.0},
+            ratio=1.0, mode="dequantize",
+        )
+        tx = make_optimizer(lr_drop_step=None)
+        state = init_state(variables["params"], tx)
+        step = make_dmc_step(model, tx, beta=0.04, n_pframes=1)
+        ds = SyntheticSeptuplets(n=2, size=80)
+        it = make_batch_iterator(ds, batch_size=1, crop=64, n_frames=2)
+        params, _, _ = step(
+            state.params, state.opt_state, jnp.asarray(next(it)),
+            jax.random.key(1), 0.0,
+        )
+
+        def quantile_leaves(tree):
+            return [
+                v for p, v in jax.tree_util.tree_flatten_with_path(tree)[0]
+                if any(getattr(k, "key", None) == "quantiles" for k in p)
+            ]
+
+        before = quantile_leaves(state.params)
+        after = quantile_leaves(params)
+        assert before and sum(
+            float(jnp.abs(a - b).sum()) for a, b in zip(after, before)
+        ) > 0

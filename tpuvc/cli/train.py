@@ -4,6 +4,7 @@
         total_steps=1000000
     python -m tpuvc.cli.train model.family=flowguided_b  # two-stage recursive
     python -m tpuvc.cli.train model.family=elic          # intra codec
+    python -m tpuvc.cli.train model.family=dmc           # cascaded P-frame
 
 Parity: /root/reference/LHBDC/train.py:164-304 (single-B) and
 ICIP2024/src/train/training.py:232-378 (two-stage recursive with random
@@ -167,7 +168,11 @@ def main(argv=None):
         lr_drop_step=cfg.lr_drop_step,
     )
 
-    n_frames = 3 if fam in ("lhbdc", "flexrate", "elic") else 5
+    n_frames = (
+        3 if fam in ("lhbdc", "flexrate", "elic")
+        else cfg.n_pframes + 1 if fam == "dmc"
+        else 5
+    )
     batches = make_batch_iterator(
         dataset, cfg.batch_size, cfg.crop, n_frames=n_frames, seed=cfg.seed
     )
@@ -289,6 +294,28 @@ def main(argv=None):
             level = int(np_rng.integers(0, cfg.model.levels))
             dr = int(np_rng.choice([1, 2, 4])) if fam == "flowguided_b" else 1
             return rec_step(params, opt, batch, key, stage2, level, dr)
+
+    elif fam == "dmc":
+        from tpuvc.models.dmc import PFrameDMC
+        from tpuvc.train.trainer import make_dmc_step
+
+        # Canonical DMC size (N=64 latents, 48 feature ch) — independent of
+        # the B-frame families' model.N default.
+        model = PFrameDMC()
+        variables = model.init(
+            rng, x0,
+            {"ref_frame": x0, "ref_feature": None, "ref_down_ratio": 1.0},
+            ratio=1.0, mode="dequantize",
+        )
+        dmc_step = make_dmc_step(
+            model, tx, beta=cfg.beta, n_pframes=cfg.n_pframes,
+            distortion=cfg.distortion, warp_weight=cfg.warp_weight,
+        )
+        n_levels = 4  # _HyperCoder gain levels (DCVC-FM q_index analog)
+
+        def run_step(params, opt, batch, key, it):
+            q = float(np_rng.integers(0, n_levels))
+            return dmc_step(params, opt, batch, key, q)
 
     else:
         raise ValueError(f"unknown family: {fam}")

@@ -87,6 +87,11 @@ class TrainConfig:
     alpha: float = 1626.0
     #: recursive-trainer rate weight (beta, ICIP2024 config.py:42).
     beta: float = 0.04
+    #: DMC trainer: P-frames per cascaded step (batch windows are
+    #: n_pframes+1 consecutive frames).
+    n_pframes: int = 2
+    #: DMC trainer: weight of the warp-prediction MSE bootstrapping term.
+    warp_weight: float = 0.0
     val_every: int = 10_000
     #: optional directory of validation sequences (PNG frame dirs); when
     #: absent, synthetic clips drive the BD-rate checkpointing signal.

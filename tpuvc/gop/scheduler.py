@@ -35,9 +35,10 @@ def code_gop_batched(
       i_frames: {0: decoded I, gop: decoded I} anchor reconstructions.
       inter_fn_batched(ref1 (B,H,W,3), ref2, xcur, frame_indices, ref_pairs)
         -> (x_hat (B,H,W,3), sizes (B,)).
-      max_batch: cap per-forward batch (HBM headroom at 1080p allows ~2;
-        deeper levels are chunked — still far fewer dispatches than
-        frame-by-frame).
+      max_batch: cap per-forward batch. 1080p handles the full GOP-16
+        level schedule (batch 8 at the deepest level); batch>=4 1080p
+        graphs cost ~13 min of one-time remote compile, so bound this
+        when iterating uncached.
 
     Returns ({frame_idx: decoded (1,H,W,3)}, {frame_idx: bits}).
     """

@@ -179,6 +179,92 @@ def make_recursive_step(
     return step
 
 
+def make_dmc_step(
+    model,
+    tx,
+    beta: float,
+    n_pframes: int = 2,
+    remat: bool = True,
+    distortion: str = "mse",
+    warp_weight: float = 0.0,
+):
+    """Cascaded P-frame training step for the DMC codec (low-delay).
+
+    The reference's OJSP2025 codec is inference-only in-repo (a patch for
+    DCVC-FM, whose trainer is absent); this completes the family with the
+    DCVC-style cascaded recipe: ground-truth frame 0 seeds the DPB, each
+    following frame is coded against the propagated decoded frame +
+    feature, and per-frame RD losses are averaged so gradients flow
+    through the propagation chain (error-recovery training).
+
+    Args:
+      batch: (B, n_pframes+1, H, W, C) consecutive frames.
+      warp_weight: optional motion-bootstrapping term
+        warp_weight * MSE(warp(ref, mv_hat), x) (DCVC stage-1 analog).
+
+    Returns step(params, opt_state, batch, rng, q) — q (rate level) is
+    traced (gain interpolation is a single formula), so one compiled graph
+    serves every level, integer or fractional.
+    """
+    from tpuvc.train.loss import distortion_fn
+
+    dist, dist_scale = distortion_fn(distortion)
+
+    def code_one(params, x, ref_frame, ref_feature, rng, q):
+        out = model.apply(
+            {"params": params}, x,
+            {"ref_frame": ref_frame, "ref_feature": ref_feature,
+             "ref_down_ratio": 1.0},
+            ratio=1.0, mode="ste", rng=rng, q=q,
+        )
+        return (
+            out["x_hat"], out["dpb"]["ref_feature"], out["warped"],
+            out["rate"],
+        )
+
+    coded = jax.checkpoint(code_one) if remat else code_one
+
+    def loss_fn(params, batch, rng, q):
+        B, n, H, W, C = batch.shape
+        ref = batch[:, 0]
+        feat = jnp.zeros((B, H, W, model.feat), batch.dtype)
+        keys = jax.random.split(rng, n - 1)
+        loss = 0.0
+        tot_rate = 0.0
+        tot_dist = 0.0
+        for i in range(1, n):
+            x = batch[:, i]
+            x_hat, feat, warped, rate = coded(
+                params, x, ref, feat, keys[i - 1], q
+            )
+            d = dist(x_hat, x)
+            loss += beta * dist_scale * d + jnp.mean(rate)
+            if warp_weight:
+                loss += warp_weight * jnp.mean((warped - x) ** 2)
+            tot_rate += jnp.mean(rate)
+            tot_dist += d
+            ref = jnp.clip(x_hat, 0.0, 1.0)
+        loss = loss / (n - 1)
+        aux = model.apply({"params": params}, method=type(model).aux_loss)
+        return loss + aux, {
+            "aux": aux,
+            "rate": tot_rate / (n - 1),
+            "mse": tot_dist / (n - 1),
+        }
+
+    @jax.jit
+    def step(params, opt_state, batch, rng, q):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, rng, q
+        )
+        updates, new_opt = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        metrics["loss"] = loss
+        return new_params, new_opt, metrics
+
+    return step
+
+
 class BDCheckpointer:
     """Keep the checkpoint whose validation BD-rate vs a fixed anchor is best.
 
