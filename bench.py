@@ -73,9 +73,11 @@ def main():
 
     table = gop_coding_table(16)
     anchors = {0: frames[0], 16: frames[16]}
-    # max_batch=2: largest 1080p batch the remote compiler handles; deeper
-    # levels chunk to pairs — still far fewer dispatches than frame-by-frame.
-    max_batch = 2
+    # max_batch=8: full level batching (1, 2, 4, 8). The batch-4/8 1080p
+    # graphs take ~13 min of one-time remote compile (then persistent-cache
+    # hits); they run 19% faster end-to-end than the chunked batch-2
+    # schedule (4.03 vs 3.37 B-frames/s).
+    max_batch = 8
 
     # warm: compiles every level's batch shape
     code_gop_batched(frames, anchors, table, inter_fn, max_batch=max_batch)

@@ -67,3 +67,68 @@ class TestLevelBatchedGop:
             assert abs(sizes[f] - seq_sizes[f]) < max(
                 2e-4 * seq_sizes[f], 2.0
             ), f
+
+
+class TestShardedEval:
+    def test_sharded_level_batches_match_single_device(self, lhbdc, rng):
+        """shard_eval splits each level batch across the 8-device CPU mesh;
+        reconstructions and sizes must match the unsharded scheduler run."""
+        from tpuvc.parallel.mesh import make_mesh, shard_eval
+
+        model, variables = lhbdc
+        table = gop_coding_table(8)
+        base = rng.random((128, 128, 3), dtype=np.float32)
+        drift = 0.01 * rng.standard_normal((128, 128, 3)).astype(np.float32)
+        frames = [
+            jnp.asarray(np.clip(base + i * drift, 0, 1))[None]
+            for i in range(9)
+        ]
+        i_frames = {0: frames[0], 8: frames[8]}
+
+        @jax.jit
+        def fwd(r1, r2, xc):
+            out = model.apply(variables, r1, xc, r2, "dequantize")
+            return out["x_hat"], out["sizes"]
+
+        mesh = make_mesh(8)
+        sharded = shard_eval(mesh, fwd)
+
+        def inter_plain(r1, r2, xc, idxs, refs):
+            return fwd(r1, r2, xc)
+
+        def inter_sharded(r1, r2, xc, idxs, refs):
+            return sharded(r1, r2, xc)
+
+        dec_a, sizes_a = code_gop_batched(
+            frames, i_frames, table, inter_plain
+        )
+        with mesh:
+            dec_b, sizes_b = code_gop_batched(
+                frames, i_frames, table, inter_sharded
+            )
+        for f in sizes_a:
+            np.testing.assert_allclose(
+                np.asarray(dec_a[f]), np.asarray(dec_b[f]), atol=1e-4,
+                err_msg=f"frame {f}",
+            )
+            assert abs(sizes_a[f] - sizes_b[f]) < max(
+                2e-4 * sizes_a[f], 2.0
+            ), f
+
+    def test_pad_to_mesh_multiple(self):
+        """Batches not divisible by the mesh size pad with the last row and
+        drop the padded outputs."""
+        from tpuvc.parallel.mesh import make_mesh, shard_eval
+
+        mesh = make_mesh(8)
+
+        @jax.jit
+        def f(x):
+            return x * 2.0, jnp.sum(x, axis=(1,))
+
+        g = shard_eval(mesh, f)
+        x = jnp.arange(3 * 4, dtype=jnp.float32).reshape(3, 4)
+        with mesh:
+            y, s = g(x)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x) * 2.0)
+        assert y.shape == (3, 4) and s.shape == (3,)

@@ -38,3 +38,35 @@ def replicate(mesh: Mesh, tree):
     """Replicate a pytree (params, opt state) across the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def shard_eval(mesh: Mesh, fn, axis: str = "data"):
+    """Data-parallel wrapper for a batched eval forward.
+
+    The GOP scheduler's level batches (tpuvc.gop.scheduler) are the eval
+    parallelism axis: frames within a hierarchy level are independent, so
+    the batch shards across the mesh and each chip codes its share. ``fn``
+    takes arrays with a common leading batch dim and returns a pytree of
+    arrays with that leading dim. Batches not divisible by the mesh size
+    are padded by repeating the last row (padded rows are computed and
+    dropped — an under-populated level can't fill the mesh anyway).
+    """
+    import jax.numpy as jnp
+
+    n = mesh.devices.size
+
+    def wrapped(*args):
+        b = args[0].shape[0]
+        pad = (-b) % n
+        if pad:
+            args = tuple(
+                jnp.concatenate([a, jnp.repeat(a[-1:], pad, axis=0)])
+                for a in args
+            )
+        args = shard_batch(mesh, args, axis=axis)
+        out = fn(*args)
+        if pad:
+            out = jax.tree.map(lambda x: x[:b], out)
+        return out
+
+    return wrapped
