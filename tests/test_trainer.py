@@ -248,3 +248,21 @@ class TestDmcTrainer:
         assert before and sum(
             float(jnp.abs(a - b).sum()) for a, b in zip(after, before)
         ) > 0
+
+
+class TestLoaderWorkers:
+    def test_stream_identical_across_worker_counts(self):
+        ds = SyntheticSeptuplets(n=8, size=80)
+        it0 = make_batch_iterator(ds, batch_size=2, crop=64, seed=7)
+        it4 = make_batch_iterator(
+            ds, batch_size=2, crop=64, seed=7, workers=4, prefetch=2
+        )
+        for _ in range(3):
+            np.testing.assert_array_equal(next(it0), next(it4))
+
+    def test_five_frame_workers(self):
+        ds = SyntheticSeptuplets(n=4, size=80)
+        it = make_batch_iterator(
+            ds, batch_size=1, crop=64, n_frames=5, workers=2, prefetch=1
+        )
+        assert next(it).shape == (1, 5, 64, 64, 3)

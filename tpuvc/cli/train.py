@@ -174,7 +174,8 @@ def main(argv=None):
         else 5
     )
     batches = make_batch_iterator(
-        dataset, cfg.batch_size, cfg.crop, n_frames=n_frames, seed=cfg.seed
+        dataset, cfg.batch_size, cfg.crop, n_frames=n_frames, seed=cfg.seed,
+        workers=cfg.workers, prefetch=cfg.prefetch,
     )
 
     init_shape = (1, cfg.crop, cfg.crop, 3)

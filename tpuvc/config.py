@@ -92,6 +92,11 @@ class TrainConfig:
     n_pframes: int = 2
     #: DMC trainer: weight of the warp-prediction MSE bootstrapping term.
     warp_weight: float = 0.0
+    #: host decode threads per batch (reference DataLoader num_workers=4,
+    #: LHBDC/test/testing.py:117-120); sample stream is worker-independent.
+    workers: int = 4
+    #: batches prepared ahead by a background thread.
+    prefetch: int = 2
     val_every: int = 10_000
     #: optional directory of validation sequences (PNG frame dirs); when
     #: absent, synthetic clips drive the BD-rate checkpointing signal.

@@ -6,8 +6,9 @@ Parity targets in /root/reference:
   - ICIP2024/src/train/utils.py:176-279 (tensor-native loader with 5-frame
     windows for the recursive stage, random crop + flips).
 
-Host-side pipeline: numpy arrays, a worker-free prefetch iterator (the TPU
-step is the bottleneck at batch 8 x 256^2; PNG decode keeps up), and a
+Host-side pipeline: numpy arrays, threaded decode workers + background
+batch prefetch (the reference's DataLoader(num_workers=4) equivalent) with
+a worker-count-independent deterministic sample stream, and a
 synthetic-data fallback so trainers are testable without the dataset.
 """
 
@@ -69,16 +70,28 @@ def make_batch_iterator(
     n_frames: int = 3,
     seed: int = 0,
     flip: bool = True,
+    workers: int = 0,
+    prefetch: int = 0,
 ):
     """Infinite iterator of (B, n_frames, crop, crop, 3) float32 batches.
 
     Frame windows follow the reference: a random contiguous window of
     ``n_frames`` odd-strided frames from each septuplet, random spatial
     crop, random horizontal/vertical flip, random temporal reversal.
+
+    Host parallelism (the reference's ``DataLoader(num_workers=4)``,
+    LHBDC/test/testing.py:117-120): all random decisions are *planned*
+    sequentially from one generator, so the sample stream is identical for
+    any worker count; only PNG decode + crop is fanned out.
+
+    Args:
+      workers: decode threads per batch (0 = synchronous).
+      prefetch: batches prepared ahead by a background thread (0 = none).
     """
     rng = np.random.default_rng(seed)
 
-    def sample_one():
+    def plan_one():
+        """Draw every random decision (fixed order, single stream)."""
         idx = int(rng.integers(len(dataset)))
         # window: for 3 frames pick stride in {1, 2, 3}; for 5 frames
         # contiguous (1..5, 2..6, 3..7).
@@ -91,17 +104,51 @@ def make_batch_iterator(
             ids = list(range(start, start + n_frames))
         if flip and rng.random() < 0.5:
             ids = ids[::-1]
+        # Crop offsets as unit draws: mapped to pixels once (h, w) is known.
+        u_y, u_x = float(rng.random()), float(rng.random())
+        flip_h = flip and rng.random() < 0.5
+        flip_v = flip and rng.random() < 0.5
+        return idx, ids, u_y, u_x, flip_h, flip_v
+
+    def materialize(plan):
+        idx, ids, u_y, u_x, flip_h, flip_v = plan
         frames = dataset.load(idx, ids)
         h, w, _ = frames[0].shape
-        y0 = int(rng.integers(0, max(h - crop, 0) + 1))
-        x0 = int(rng.integers(0, max(w - crop, 0) + 1))
+        y0 = int(u_y * (max(h - crop, 0) + 1))
+        x0 = int(u_x * (max(w - crop, 0) + 1))
         frames = [f[y0 : y0 + crop, x0 : x0 + crop] for f in frames]
-        if flip:
-            if rng.random() < 0.5:
-                frames = [f[:, ::-1] for f in frames]
-            if rng.random() < 0.5:
-                frames = [f[::-1] for f in frames]
+        if flip_h:
+            frames = [f[:, ::-1] for f in frames]
+        if flip_v:
+            frames = [f[::-1] for f in frames]
         return np.stack(frames)
 
-    while True:
-        yield np.stack([sample_one() for _ in range(batch_size)])
+    pool = None
+    if workers > 0:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=workers)
+
+    def next_batch():
+        plans = [plan_one() for _ in range(batch_size)]
+        mats = pool.map(materialize, plans) if pool else map(
+            materialize, plans
+        )
+        return np.stack(list(mats))
+
+    if prefetch <= 0:
+        while True:
+            yield next_batch()
+    else:
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=prefetch)
+
+        def fill():
+            while True:
+                q.put(next_batch())
+
+        threading.Thread(target=fill, daemon=True).start()
+        while True:
+            yield q.get()
