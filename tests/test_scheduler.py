@@ -132,3 +132,73 @@ class TestShardedEval:
             y, s = g(x)
         np.testing.assert_allclose(np.asarray(y), np.asarray(x) * 2.0)
         assert y.shape == (3, 4) and s.shape == (3,)
+
+
+class TestSpatialSharding:
+    def test_h_sharded_forward_matches_replicated(self, lhbdc, rng):
+        """Context-parallel analog: shard the H axis of the frames across
+        a 4-device mesh; XLA partitions the convs (halo exchanges) and the
+        full LHBDC forward must match the unsharded result.
+
+        4 devices, not 8: at H=256 the deepest hyper-latent conv runs at
+        H=8, and XLA's SPMD partitioner miscomputes strided convolutions
+        when a shard holds fewer rows than the stride (see
+        test_shard_below_stride_rows_is_known_broken)."""
+        from tpuvc.parallel.mesh import make_mesh, shard_spatial
+
+        model, variables = lhbdc
+        base = rng.random((256, 192, 3), dtype=np.float32)
+        x1 = jnp.asarray(base)[None]
+        x2 = jnp.asarray(np.clip(base + 0.01, 0, 1))[None]
+        x3 = jnp.asarray(np.clip(base + 0.02, 0, 1))[None]
+
+        @jax.jit
+        def fwd(r1, r2, xc):
+            out = model.apply(variables, r1, xc, r2, "dequantize")
+            return out["x_hat"], out["sizes"]
+
+        ref_x, ref_s = fwd(x1, x2, x3)
+
+        mesh = make_mesh(4)
+        with mesh:
+            s1, s2, s3 = shard_spatial(mesh, (x1, x2, x3))
+            out_x, out_s = fwd(s1, s2, s3)
+        np.testing.assert_allclose(
+            np.asarray(ref_x), np.asarray(out_x), atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(ref_s), np.asarray(out_s), rtol=2e-4
+        )
+
+    def test_shard_below_stride_rows_is_known_broken(self, rng):
+        """Documents the XLA SPMD edge that bounds shard_spatial's mesh
+        size: a stride-2 conv whose shards hold 1 row each partitions
+        incorrectly. If this starts passing, the constraint in
+        shard_spatial's docstring can be relaxed."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from tpuvc.parallel.mesh import make_mesh
+
+        k = jnp.asarray(
+            0.1 * rng.standard_normal((3, 3, 16, 16)).astype(np.float32)
+        )
+        x = jnp.asarray(rng.standard_normal((1, 8, 8, 16)).astype(np.float32))
+
+        @jax.jit
+        def conv(a):
+            return jax.lax.conv_general_dilated(
+                a, k, (2, 2), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        ref = conv(x)
+        mesh = make_mesh(8)
+        with mesh:
+            out = conv(
+                jax.device_put(x, NamedSharding(mesh, P(None, "data")))
+            )
+        diff = float(jnp.abs(ref - out).max())
+        assert diff > 1.0, (
+            "XLA now partitions shard<stride convs correctly (diff "
+            f"{diff}); relax the shard_spatial constraint"
+        )

@@ -40,6 +40,27 @@ def replicate(mesh: Mesh, tree):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def shard_spatial(mesh: Mesh, tree, axis: str = "data"):
+    """Shard the H dimension of NHWC frames across the mesh.
+
+    The context-parallel analog for 1080p frames (SURVEY.md 2.5.3): XLA's
+    SPMD partitioner inserts halo exchanges for the convolutions and
+    collectives for global ops from the sharding annotation alone. Set
+    ``TPUVC_WARP=xla`` under spatial sharding (tpuvc.ops.warp routing) — a
+    custom Pallas call cannot be partitioned and would force a gather of
+    the full frame.
+
+    Constraint: every downsampling level of the model must keep at least
+    ``stride`` rows per device — XLA's SPMD partitioner miscomputes
+    strided convolutions when a shard holds fewer rows than the stride
+    (repro: tests/test_scheduler.py::TestSpatialSharding). For the /64
+    deepest hyper-latents this bounds the mesh to H/128 devices (1080p:
+    up to 8).
+    """
+    sharding = NamedSharding(mesh, P(None, axis, None, None))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
 def shard_eval(mesh: Mesh, fn, axis: str = "data"):
     """Data-parallel wrapper for a batched eval forward.
 
