@@ -266,3 +266,34 @@ class TestLoaderWorkers:
             ds, batch_size=1, crop=64, n_frames=5, workers=2, prefetch=1
         )
         assert next(it).shape == (1, 5, 64, 64, 3)
+
+
+class TestSkipNonfinite:
+    def test_nan_grad_step_leaves_params_unchanged(self, rng):
+        from tpuvc.models.lhbdc import LHBDC
+
+        model = LHBDC(N=16)
+        x = jnp.zeros((1, 192, 192, 3), jnp.float32)
+        variables = model.init(jax.random.key(0), x, x, x, "dequantize")
+        tx = make_optimizer(lr_drop_step=None, skip_nonfinite=5)
+        state = init_state(variables["params"], tx)
+        step = make_lhbdc_step(model, tx, alpha=1626.0)
+
+        ds = SyntheticSeptuplets(n=2, size=224)
+        it = make_batch_iterator(ds, batch_size=1, crop=192, n_frames=3)
+        good = jnp.asarray(next(it))
+        bad = good.at[0, 1, 0, 0, 0].set(jnp.nan)
+
+        params, opt, m = step(
+            state.params, state.opt_state, bad, jax.random.key(1)
+        )
+        # NaN batch -> update dropped, every param bit-identical.
+        same = jax.tree.map(
+            lambda a, b: bool(jnp.all(a == b)), state.params, params
+        )
+        assert all(jax.tree.leaves(same))
+
+        params2, opt2, m2 = step(params, opt, good, jax.random.key(2))
+        assert np.isfinite(float(m2["loss"]))
+        p0 = jax.tree.leaves(params)[0]
+        assert float(jnp.abs(jax.tree.leaves(params2)[0] - p0).sum()) > 0

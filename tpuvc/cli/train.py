@@ -165,7 +165,7 @@ def main(argv=None):
     fam = cfg.model.family
     tx = make_optimizer(
         lr=cfg.lr, aux_lr=cfg.aux_lr, grad_clip=cfg.grad_clip,
-        lr_drop_step=cfg.lr_drop_step,
+        lr_drop_step=cfg.lr_drop_step, skip_nonfinite=cfg.skip_nonfinite,
     )
 
     n_frames = (

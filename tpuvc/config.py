@@ -97,6 +97,9 @@ class TrainConfig:
     workers: int = 4
     #: batches prepared ahead by a background thread.
     prefetch: int = 2
+    #: >0: drop steps with NaN/inf gradients (optax.apply_if_finite with
+    #: this many consecutive errors tolerated) instead of poisoning params.
+    skip_nonfinite: int = 100
     val_every: int = 10_000
     #: optional directory of validation sequences (PNG frame dirs); when
     #: absent, synthetic clips drive the BD-rate checkpointing signal.

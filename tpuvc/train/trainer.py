@@ -37,9 +37,16 @@ def make_optimizer(
     grad_clip: float = 1.0,
     lr_drop_step: int | None = 500_000,
     drop_factor: float = 0.1,
+    skip_nonfinite: int = 0,
 ):
     """Multi-transform optimizer: 'aux' for quantile params, 'main' for the
-    rest, with the reference's step-wise lr drop."""
+    rest, with the reference's step-wise lr drop.
+
+    skip_nonfinite > 0 wraps the whole transform in
+    ``optax.apply_if_finite``: a step whose gradients contain NaN/inf is
+    dropped (params unchanged) instead of poisoning the run — failure
+    detection the reference trainer lacks; after that many consecutive
+    bad steps, updates pass through again so the divergence is visible."""
 
     def schedule(base):
         if lr_drop_step is None:
@@ -62,7 +69,10 @@ def make_optimizer(
 
         return jax.tree_util.tree_map_with_path(label, params)
 
-    return optax.multi_transform({"main": main, "aux": aux}, label_fn)
+    tx = optax.multi_transform({"main": main, "aux": aux}, label_fn)
+    if skip_nonfinite > 0:
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=skip_nonfinite)
+    return tx
 
 
 @dataclass
