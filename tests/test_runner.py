@@ -75,3 +75,68 @@ class TestEvalSequence:
         assert "msssim" in df.columns
         assert df["msssim"].between(0.0, 1.0).all()
         assert df["msssim"].notna().all()
+
+
+class TestEvalSequenceBatched:
+    def test_matches_sequential_runner(self, rng):
+        """Level-batched sequence eval must agree with the sequential
+        protocol path (same codec, same frames, GOP-8)."""
+        from tpuvc.eval.runner import eval_sequence_batched
+        from tpuvc.models.lhbdc import LHBDC
+
+        model = LHBDC(N=16)
+        x = jnp.zeros((1, 128, 128, 3), jnp.float32)
+        variables = model.init(jax.random.key(0), x, x, x, "dequantize")
+
+        from tpuvc.gop.order import sequence_order_from_table
+
+        seq = SyntheticSequence(n_frames=17, h=128, w=128)
+        frames = [jnp.asarray(seq[i]) for i in range(len(seq))]
+        order, typ = sequence_order_from_table(8, len(seq))
+
+        def intra_fn(xf):
+            return jnp.clip(xf + 0.01, 0, 1), 1000.0
+
+        @jax.jit
+        def fwd(v, r1, r2, xc):
+            out = model.apply(v, r1, xc, r2, "dequantize")
+            return out["x_hat"], out["sizes"]
+
+        def inter_seq(r1, r2, xc, order_, o1, o2):
+            x_hat, s = fwd(variables, r1, r2, xc)
+            return x_hat, s[0]
+
+        def inter_batched(r1, r2, xc, idxs, refs):
+            return fwd(variables, r1, r2, xc)
+
+        p_seq, s_seq = eval_sequence(
+            frames, order, typ, intra_fn, inter_seq, crop_hw=seq.size
+        )
+        p_bat, s_bat = eval_sequence_batched(
+            frames, len(seq), 8, intra_fn, inter_batched,
+            crop_hw=seq.size,
+        )
+        assert len(p_bat) == 17
+        for i in range(17):
+            # Same protocol up to batched-vs-sequential float accumulation.
+            assert abs(p_seq[i] - p_bat[i]) < 0.1, i
+            assert abs(s_seq[i] - s_bat[i]) < max(2e-3 * s_seq[i], 4.0), i
+
+    def test_prefix_truncation(self, rng):
+        """A 21-frame sequence covers only the 17-frame (2x GOP-8) prefix."""
+        from tpuvc.eval.runner import eval_sequence_batched
+
+        seq = SyntheticSequence(n_frames=21, h=96, w=96)
+        frames = [jnp.asarray(seq[i]) for i in range(len(seq))]
+
+        def intra_fn(xf):
+            return xf, 100.0
+
+        def inter_batched(r1, r2, xc, idxs, refs):
+            return xc, jnp.full((xc.shape[0],), 50.0)
+
+        p, s = eval_sequence_batched(
+            frames, len(seq), 8, intra_fn, inter_batched, crop_hw=seq.size
+        )
+        assert len(p) == 17 and len(s) == 17
+        assert all(v > 0 for v in s)

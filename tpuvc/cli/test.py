@@ -170,6 +170,76 @@ def make_frame_fns(cfg, intra_pack, inter_pack, level: int):
     return intra_fn, inter_fn
 
 
+def make_batched_inter_fn(cfg, inter_pack, level: int, gop: int):
+    """Level-batched inter forward for eval_sequence_batched.
+
+    Frames within one hierarchy level share rate-control state: equal
+    reference distances give the same Flex-Rate (n, l) and the same v4
+    temporal scales, so one batched call serves the whole level. The v4
+    per-frame adaptive down-ratio search is disabled on this path
+    (down_ratio=1); use the sequential runner for full adaptive parity.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from tpuvc.models.flowguided_b import get_scales
+
+    model, variables = inter_pack
+    fam = cfg.model.family
+
+    if fam == "lhbdc":
+
+        @jax.jit
+        def fwd(v, r1, r2, xc):
+            out = model.apply(v, r1, xc, r2, "dequantize")
+            return out["x_hat"], out["sizes"]
+
+        def inter_fn(r1, r2, xc, idxs, refs):
+            return fwd(variables, r1, r2, xc)
+
+    elif fam == "flexrate":
+        from tpuvc.gop.rate_control import flexrate_rate_for_frame
+
+        @jax.jit
+        def fwd(v, r1, r2, xc, n, l):
+            out = model.apply(v, r1, xc, r2, n, l, "dequantize")
+            return out["x_hat"], out["size"]
+
+        def inter_fn(r1, r2, xc, idxs, refs):
+            d = max(abs(refs[0][1] - refs[0][0]), 1)
+            hier = max(1, int(round(math.log2(gop / d))) + 1)
+            n, l = flexrate_rate_for_frame(level, hier)
+            return fwd(variables, r1, r2, xc, n, l)
+
+    elif fam == "deform_b":
+
+        @jax.jit
+        def fwd(v, r1, r2, xc, s):
+            out = model.apply(v, r1, r2, xc, s, "dequantize")
+            return out["x_hat"], out["sizes"]
+
+        def inter_fn(r1, r2, xc, idxs, refs):
+            return fwd(variables, r1, r2, xc, float(level))
+
+    elif fam == "flowguided_b":
+
+        @jax.jit
+        def fwd(v, r1, r2, xc, s, s1, s2):
+            out = model.apply(
+                v, r1, r2, xc, s, s1, s2, 1, "dequantize"
+            )
+            return out["x_hat"], out["sizes"]
+
+        def inter_fn(r1, r2, xc, idxs, refs):
+            s1, s2 = get_scales(idxs[0], refs[0][0], refs[0][1])
+            return fwd(variables, r1, r2, xc, float(level), s1, s2)
+
+    else:
+        raise ValueError(f"level_batched unsupported for family: {fam}")
+
+    return inter_fn
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", default=None)
@@ -253,11 +323,29 @@ def _run_levels(cfg, intra_pack, inter_pack, info):
                 def __getitem__(self, i):
                     return jnp.asarray(frames[i])
 
-            psnrs, sizes = eval_sequence(
-                _Device(), order, typ, intra_fn, inter_fn,
-                crop_hw=frames.size, video=seq, level=level, info=info,
-                compute_msssim=cfg.eval_msssim,
-            )
+            if cfg.level_batched:
+                from tpuvc.eval.runner import eval_sequence_batched
+
+                gop = cfg.dataset.gop
+                n_use = ((len(frames) - 1) // gop) * gop + 1
+                if n_use != len(frames):
+                    print(
+                        f"level_batched: covering {n_use}/{len(frames)} "
+                        f"frames of {seq} (largest k*{gop}+1 prefix)"
+                    )
+                inter_b = make_batched_inter_fn(cfg, inter_pack, level, gop)
+                psnrs, sizes = eval_sequence_batched(
+                    _Device(), len(frames), gop, intra_fn, inter_b,
+                    crop_hw=frames.size, video=seq, level=level, info=info,
+                    max_batch=cfg.max_batch,
+                    compute_msssim=cfg.eval_msssim,
+                )
+            else:
+                psnrs, sizes = eval_sequence(
+                    _Device(), order, typ, intra_fn, inter_fn,
+                    crop_hw=frames.size, video=seq, level=level, info=info,
+                    compute_msssim=cfg.eval_msssim,
+                )
             print(
                 f"level {level} {seq}: psnr "
                 f"{sum(psnrs)/len(psnrs):.2f} bpp "

@@ -60,6 +60,15 @@ class TestConfig:
     #: also record MS-SSIM per frame (the LHBDC MS-SSIM RD protocol,
     #: LHBDC/results/mssim_bpp.txt) in the infographic ledger.
     eval_msssim: bool = False
+    #: level-batched GOP scheduling (the bench.py performance path:
+    #: independent frames in a hierarchy level share one batched forward).
+    #: Covers the largest k*gop+1 prefix of each sequence; the sequential
+    #: runner remains the exact reference protocol. Disables the v4
+    #: per-frame adaptive down-ratio search.
+    level_batched: bool = False
+    #: per-forward batch cap for the level-batched path (1080p graphs of
+    #: batch 4/8 cost ~13 min of one-time compile; cached after).
+    max_batch: int = 8
     device_count: int = 1
     output_dir: str = "outputs"
     #: "float32" | "bfloat16": layer compute dtype (tpuvc.ops.precision).

@@ -92,3 +92,90 @@ def summarize(psnr_list, size_list, crop_hw):
         "psnr": float(np.mean(psnr_list)),
         "bpp": float(np.mean(size_list) / (h * w)),
     }
+
+
+def eval_sequence_batched(
+    frames,
+    n_frames: int,
+    gop: int,
+    intra_fn: Callable,
+    inter_fn_batched: Callable,
+    crop_hw: tuple[int, int],
+    video: str = "",
+    level: int = 0,
+    info: TestInfographic | None = None,
+    max_batch: int | None = None,
+    compute_msssim: bool = False,
+):
+    """Level-batched sequence evaluation: the performance path.
+
+    Codes the sequence GOP by GOP with tpuvc.gop.scheduler's level-batched
+    forwards (independent frames within a hierarchy level share one
+    batched call — the MXU-saturating schedule bench.py measures). Covers
+    the largest ``k*gop + 1`` prefix of the sequence; the caller decides
+    how to treat any tail (the sequential ``eval_sequence`` is the
+    full-protocol parity path, ICIP2023/src/test.py:36-94).
+
+    Args:
+      inter_fn_batched(ref1 (B,H,W,3), ref2, xcur, idxs, refs) ->
+        (x_hat (B,H,W,3), sizes (B,)) with idxs/refs in GOP-local orders.
+
+    Returns (psnr_list, size_list) in display order over the covered
+    prefix.
+    """
+    from tpuvc.gop.order import gop_coding_table
+    from tpuvc.gop.scheduler import code_gop_batched
+
+    h, w = crop_hw
+    n_use = ((n_frames - 1) // gop) * gop + 1
+    assert n_use >= gop + 1, f"need at least one full GOP, got {n_frames}"
+    table = gop_coding_table(gop)
+
+    psnr_list: list[float] = [0.0] * n_use
+    size_list: list[float] = [0.0] * n_use
+
+    def record(idx, typ, dec, size):
+        frame = frames[idx]
+        p = float(psnr_uint8(frame[:, :h, :w], dec[:, :h, :w]))
+        psnr_list[idx] = p
+        size_list[idx] = float(size)
+        extra = {}
+        if compute_msssim:
+            from tpuvc.eval.metrics import msssim
+
+            extra["msssim"] = float(
+                msssim(frame[:, :h, :w], jnp.clip(dec[:, :h, :w], 0, 1))
+            )
+        if info is not None:
+            info.update(video, level, idx, typ, p, float(size), h * w, **extra)
+
+    class _Window:
+        """GOP-local view: window[i] = frames[start + i]."""
+
+        def __init__(self, start):
+            self.start = start
+
+        def __getitem__(self, i):
+            return frames[self.start + i]
+
+    prev_anchor = None
+    for g in range(0, n_use - 1, gop):
+        if prev_anchor is None:
+            dec0, s0 = intra_fn(frames[g])
+            dec0 = jnp.clip(dec0, 0.0, 1.0)
+            record(g, "I", dec0, s0)
+        else:
+            dec0 = prev_anchor
+        dec1, s1 = intra_fn(frames[g + gop])
+        dec1 = jnp.clip(dec1, 0.0, 1.0)
+        record(g + gop, "I", dec1, s1)
+
+        decoded, sizes = code_gop_batched(
+            _Window(g), {0: dec0, gop: dec1}, table, inter_fn_batched,
+            max_batch=max_batch,
+        )
+        for f, bits in sizes.items():
+            record(g + f, "B", decoded[f], bits)
+        prev_anchor = dec1
+
+    return psnr_list, size_list

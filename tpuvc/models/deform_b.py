@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from tpuvc.entropy.emath import likelihood_to_bits
+from tpuvc.entropy.emath import likelihood_to_bits, per_sample_bits
 from tpuvc.models.cond_elic import CondELIC
 from tpuvc.models.ms_feature import MSFeature, ReconstructorDeconv, TemporalEnc
 from tpuvc.ops.deform import DeformConv
@@ -135,7 +135,18 @@ class DeformB(nn.Module):
         ) + sum(
             likelihood_to_bits(l) for l in res_result["likelihoods"].values()
         )
-        return {"x_hat": x_hat, "size": bits, "rate": bits / num_pixels}
+        sizes = sum(
+            per_sample_bits(l)
+            for l in offset_result["likelihoods"].values()
+        ) + sum(
+            per_sample_bits(l) for l in res_result["likelihoods"].values()
+        )
+        return {
+            "x_hat": x_hat,
+            "size": bits,
+            "sizes": sizes,
+            "rate": bits / num_pixels,
+        }
 
     # --- staged methods for the real-bitstream coder ---
 

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from tpuvc.entropy.emath import likelihood_to_bits
+from tpuvc.entropy.emath import likelihood_to_bits, per_sample_bits
 from tpuvc.models.cond_elic import OffsetELIC, ResELIC
 from tpuvc.models.ms_feature import (
     FlowNET,
@@ -219,9 +219,16 @@ class FlowGuidedB(nn.Module):
         ) + sum(
             likelihood_to_bits(l) for l in res_result["likelihoods"].values()
         )
+        sizes = sum(
+            per_sample_bits(l)
+            for l in offset_result["likelihoods"].values()
+        ) + sum(
+            per_sample_bits(l) for l in res_result["likelihoods"].values()
+        )
         return {
             "x_hat": x_hat,
             "size": bits,
+            "sizes": sizes,
             "rate": bits / num_pixels,
         }
 
