@@ -161,3 +161,34 @@ def test_zero_pad_sampling_channel_chunking():
     out_k = _warp_zero_pallas(img, fl, interpret=True)
     out_x = _warp_zero_pad(img, fl)
     np.testing.assert_allclose(out_k, out_x, atol=ATOL)
+
+
+def test_wide_channel_chunking():
+    """warp_pallas_chunked splits C > MAX_CHANNELS into kernel-width slices
+    sharing the flow; must match the XLA gather path (incl. a ragged tail)."""
+    from tpuvc.ops.warp_pallas import warp_pallas_chunked
+
+    rng = np.random.default_rng(9)
+    img = _frames(1, 128, 256, 19, seed=9)  # 2 full chunks + 3-wide tail
+    fl = jnp.asarray(
+        (2.5 * rng.standard_normal((1, 128, 256, 2))).astype(np.float32)
+    )
+    out_k = warp_pallas_chunked(img, fl, 1.0, 1.0, True)
+    out_x = _warp_xla(img, fl, 1.0, 1.0)
+    np.testing.assert_allclose(out_k, out_x, atol=ATOL)
+
+
+def test_routing_wide_channels(monkeypatch):
+    """Wide-channel warps route to the kernel only at full-res pixel counts
+    (>= 1M px); sub-res pyramid warps stay on XLA where gathers win."""
+    import importlib
+
+    warp_mod = importlib.import_module("tpuvc.ops.warp")
+
+    monkeypatch.setenv("TPUVC_WARP", "pallas")
+    # 1088x1920 = 2.1M px: wide channels eligible
+    assert warp_mod._use_pallas(jnp.zeros((1, 1088, 1920, 48), jnp.float32))
+    # 544x960 = 0.52M px: wide channels stay on XLA...
+    assert not warp_mod._use_pallas(jnp.zeros((1, 544, 960, 64), jnp.float32))
+    # ...but narrow channels still route
+    assert warp_mod._use_pallas(jnp.zeros((1, 544, 960, 3), jnp.float32))

@@ -26,14 +26,20 @@ import jax.numpy as jnp
 
 
 def _use_pallas(img: jnp.ndarray) -> bool:
-    """Route large-frame, few-channel warps to the Pallas band kernel on
-    TPU backends (tpuvc.ops.warp_pallas); everything else stays on the XLA
-    gather path. TPUVC_WARP=xla|pallas overrides."""
+    """Route large-frame warps to the Pallas band kernel on TPU backends
+    (tpuvc.ops.warp_pallas); everything else stays on the XLA gather path.
+    Channel counts beyond the kernel's cap are chunked (the flow is shared),
+    so wide FULL-RES feature-map warps (e.g. the DMC 48-ch context warp at
+    1080p: 157 vs 470 ms) also leave the index-rate-limited gather path.
+    Below ~1M px the per-chunk band overhead loses to XLA's payload-wide
+    gathers (544x960 C=64: 58 vs 27 ms), so wide sub-res pyramid warps
+    stay on XLA. TPUVC_WARP=xla|pallas overrides."""
     mode = os.environ.get("TPUVC_WARP", "auto")
     if mode == "xla":
         return False
     B, H, W, C = img.shape
-    eligible = C <= 8 and H * W >= 128 * 256 and img.dtype == jnp.float32
+    min_px = 128 * 256 if C <= 8 else 1 << 20
+    eligible = H * W >= min_px and img.dtype == jnp.float32
     if mode == "pallas":
         return eligible
     return eligible and jax.default_backend() in ("tpu", "axon")
@@ -64,9 +70,9 @@ def warp(img: jnp.ndarray, flow: jnp.ndarray, compat: str = "exact") -> jnp.ndar
         raise ValueError(f"unknown warp compat mode: {compat}")
 
     if _use_pallas(img):
-        from tpuvc.ops.warp_pallas import warp_pallas
+        from tpuvc.ops.warp_pallas import warp_pallas_chunked
 
-        return warp_pallas(img, flow, sx, sy)
+        return warp_pallas_chunked(img, flow, sx, sy)
 
     # Sample coordinates in pixel space, clamped to the frame (border padding).
     xs = jnp.arange(W, dtype=flow.dtype)
