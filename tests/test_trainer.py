@@ -28,6 +28,36 @@ class TestOptimizer:
         up_aux = float(jnp.abs(updates["eb"]["quantiles"]).mean())
         assert up_aux > 5 * up_main
 
+    def test_plateau_schedule_scales_lr(self):
+        """ReduceLROnPlateau analog (reference LHBDC utils.py:359-361):
+        a flat loss shrinks main updates by factor^k; aux is untouched."""
+        params = {
+            "conv": {"kernel": jnp.ones((3, 3))},
+            "eb": {"quantiles": jnp.ones((4, 1, 3))},
+        }
+        tx = make_optimizer(
+            lr=1e-4, aux_lr=1e-3, lr_drop_step=None, plateau_patience=2
+        )
+        state = tx.init(params)
+        grads = jax.tree.map(jnp.ones_like, params)
+        for _ in range(8):
+            updates, state = tx.update(
+                grads, state, params, value=jnp.float32(1.0)
+            )
+        up_main = float(jnp.abs(updates["conv"]["kernel"]).mean())
+        up_aux = float(jnp.abs(updates["eb"]["quantiles"]).mean())
+        # 8 flat steps with patience 2 -> at least two 0.5x drops.
+        assert up_main < 0.3 * 1e-4
+        assert up_aux > 5e-4
+
+    def test_value_kwarg_ignored_without_plateau(self):
+        tx = make_optimizer(lr=1e-4, lr_drop_step=None)
+        params = {"conv": {"kernel": jnp.ones((3, 3))}}
+        state = tx.init(params)
+        grads = jax.tree.map(jnp.ones_like, params)
+        updates, _ = tx.update(grads, state, params, value=jnp.float32(3.0))
+        assert float(jnp.abs(updates["conv"]["kernel"]).mean()) > 5e-5
+
 
 class TestDataPipeline:
     def test_batch_shapes(self):

@@ -166,6 +166,7 @@ def main(argv=None):
     tx = make_optimizer(
         lr=cfg.lr, aux_lr=cfg.aux_lr, grad_clip=cfg.grad_clip,
         lr_drop_step=cfg.lr_drop_step, skip_nonfinite=cfg.skip_nonfinite,
+        plateau_patience=cfg.plateau_patience or None,
     )
 
     n_frames = (

@@ -169,6 +169,26 @@ int tpuvc_rans_decode(const uint8_t* stream, int nbytes, const int32_t* indexes,
   if (nbytes < 4) return -2;
   Decoder dec;
   dec.init(stream, nbytes);
+
+  // Per-CDF coarse index over the top 8 bits of the 16-bit probability
+  // word: bucket[b] = largest symbol s with cdf[s] <= (b << 8). Narrows
+  // the per-symbol search to the handful of symbols inside one bucket
+  // (typically 0-1 binary steps instead of ~6 over a 66-entry CDF).
+  // Build cost is ncdfs * 256 — amortized over millions of symbols.
+  std::vector<uint16_t> bucket_lut(static_cast<size_t>(ncdfs) * 257);
+  for (int r = 0; r < ncdfs; ++r) {
+    const int32_t len = cdf_lengths[r];
+    if (len < 3 || len > cdf_stride) continue;  // unused padding row
+    const int32_t* cdf = cdfs + static_cast<size_t>(r) * cdf_stride;
+    uint16_t* lut = bucket_lut.data() + static_cast<size_t>(r) * 257;
+    int s = 0;
+    for (int b = 0; b < 256; ++b) {
+      while (s + 1 < len - 1 && cdf[s + 1] <= (b << 8)) ++s;
+      lut[b] = static_cast<uint16_t>(s);
+    }
+    lut[256] = static_cast<uint16_t>(len - 2);
+  }
+
   for (int i = 0; i < n; ++i) {
     const int32_t idx = indexes[i];
     if (idx < 0 || idx >= ncdfs) return -2;
@@ -178,8 +198,11 @@ int tpuvc_rans_decode(const uint8_t* stream, int nbytes, const int32_t* indexes,
     const int32_t maxv = len - 2;
 
     const uint32_t cf = dec.peek();
-    // Binary search for symbol s with cdf[s] <= cf < cdf[s+1].
-    int lo = 0, hi = len - 1;
+    // Binary search for symbol s with cdf[s] <= cf < cdf[s+1], bounded
+    // by the bucket index.
+    const uint16_t* lut = bucket_lut.data() + static_cast<size_t>(idx) * 257;
+    int lo = lut[cf >> 8];
+    int hi = static_cast<int>(lut[(cf >> 8) + 1]) + 1;
     while (hi - lo > 1) {
       const int mid = (lo + hi) >> 1;
       if (static_cast<uint32_t>(cdf[mid]) <= cf) {

@@ -109,6 +109,10 @@ class TrainConfig:
     #: >0: drop steps with NaN/inf gradients (optax.apply_if_finite with
     #: this many consecutive errors tolerated) instead of poisoning params.
     skip_nonfinite: int = 100
+    #: >0: ReduceLROnPlateau on the main optimizer (LHBDC reference
+    #: schedule, factor 0.5, LHBDC/test/utils.py:359-361), measured in
+    #: non-improving train steps; 0 keeps the step-wise lr drop only.
+    plateau_patience: int = 0
     val_every: int = 10_000
     #: optional directory of validation sequences (PNG frame dirs); when
     #: absent, synthetic clips drive the BD-rate checkpointing signal.

@@ -38,9 +38,19 @@ def make_optimizer(
     lr_drop_step: int | None = 500_000,
     drop_factor: float = 0.1,
     skip_nonfinite: int = 0,
+    plateau_patience: int | None = None,
+    plateau_factor: float = 0.5,
+    plateau_min_scale: float = 0.01,
 ):
     """Multi-transform optimizer: 'aux' for quantile params, 'main' for the
     rest, with the reference's step-wise lr drop.
+
+    plateau_patience enables the LHBDC-family ReduceLROnPlateau schedule
+    (reference /root/reference/LHBDC/test/utils.py:359-361: mode='min',
+    factor=0.5, patience=5, min_lr) on the main optimizer: the train step
+    passes the loss through ``tx.update(..., value=loss)`` and the LR is
+    scaled by ``plateau_factor`` after ``plateau_patience`` non-improving
+    evaluations, floored at ``plateau_min_scale`` of the base LR.
 
     skip_nonfinite > 0 wraps the whole transform in
     ``optax.apply_if_finite``: a step whose gradients contain NaN/inf is
@@ -55,10 +65,19 @@ def make_optimizer(
             base, {lr_drop_step: drop_factor}
         )
 
-    main = optax.chain(
+    main_parts = [
         optax.clip_by_global_norm(grad_clip),
         optax.adam(schedule(lr)),
-    )
+    ]
+    if plateau_patience is not None:
+        main_parts.append(
+            optax.contrib.reduce_on_plateau(
+                factor=plateau_factor,
+                patience=plateau_patience,
+                min_scale=plateau_min_scale,
+            )
+        )
+    main = optax.chain(*main_parts)
     aux = optax.adam(schedule(aux_lr))
 
     def label_fn(params):
@@ -72,7 +91,9 @@ def make_optimizer(
     tx = optax.multi_transform({"main": main, "aux": aux}, label_fn)
     if skip_nonfinite > 0:
         tx = optax.apply_if_finite(tx, max_consecutive_errors=skip_nonfinite)
-    return tx
+    # Steps always pass value=loss; transforms that don't consume it
+    # (everything but reduce_on_plateau) ignore it.
+    return optax.with_extra_args_support(tx)
 
 
 @dataclass
@@ -111,7 +132,9 @@ def make_lhbdc_step(model, tx, alpha: float, distortion: str = "mse"):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state_params, batch, rng
         )
-        updates, new_opt = tx.update(grads, state_opt, state_params)
+        updates, new_opt = tx.update(
+            grads, state_opt, state_params, value=loss
+        )
         new_params = optax.apply_updates(state_params, updates)
         metrics["loss"] = loss
         return new_params, new_opt, metrics
@@ -181,7 +204,9 @@ def make_recursive_step(
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch, rng, stage2, level, down_ratio
         )
-        updates, new_opt = tx.update(grads, opt_state, params)
+        updates, new_opt = tx.update(
+            grads, opt_state, params, value=loss
+        )
         new_params = optax.apply_updates(params, updates)
         metrics["loss"] = loss
         return new_params, new_opt, metrics
@@ -267,7 +292,9 @@ def make_dmc_step(
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch, rng, q
         )
-        updates, new_opt = tx.update(grads, opt_state, params)
+        updates, new_opt = tx.update(
+            grads, opt_state, params, value=loss
+        )
         new_params = optax.apply_updates(params, updates)
         metrics["loss"] = loss
         return new_params, new_opt, metrics
