@@ -202,3 +202,80 @@ class TestSpatialSharding:
             "XLA now partitions shard<stride convs correctly (diff "
             f"{diff}); relax the shard_spatial constraint"
         )
+
+class TestCrossGopBatched:
+    def test_matches_per_gop(self, lhbdc, rng):
+        """code_gops_batched over a 2-GOP window must reproduce the per-GOP
+        schedule exactly: same graphs, only chunk composition changes."""
+        from tpuvc.gop.scheduler import code_gops_batched
+
+        model, variables = lhbdc
+        table = gop_coding_table(8)
+        base = rng.random((192, 192, 3), dtype=np.float32)
+        drift = 0.01 * rng.standard_normal((192, 192, 3)).astype(np.float32)
+        frames = [
+            jnp.asarray(np.clip(base + i * drift, 0, 1))[None]
+            for i in range(17)
+        ]
+
+        @jax.jit
+        def fwd(v, r1, r2, xc):
+            out = model.apply(v, r1, xc, r2, "dequantize")
+            return out["x_hat"], out["sizes"]
+
+        def inter_batched(r1, r2, xc, idxs, refs):
+            return fwd(variables, r1, r2, xc)
+
+        anchors = {0: frames[0], 8: frames[8], 16: frames[16]}
+        dec_x, sizes_x = code_gops_batched(
+            frames, anchors, table, inter_batched, [0, 8], max_batch=2
+        )
+        assert set(sizes_x) == set(range(17)) - {0, 8, 16}
+
+        for g in (0, 8):
+            dec_g, sizes_g = code_gop_batched(
+                frames[g : g + 9], {0: anchors[g], 8: anchors[g + 8]},
+                table, inter_batched, max_batch=2,
+            )
+            for f, bits in sizes_g.items():
+                np.testing.assert_allclose(
+                    np.asarray(dec_x[g + f]), np.asarray(dec_g[f]),
+                    atol=1e-4, err_msg=f"frame {g + f}",
+                )
+                assert abs(sizes_x[g + f] - bits) < max(2e-4 * bits, 2.0)
+
+    def test_runner_window_gops(self, lhbdc, rng):
+        """eval_sequence_batched(window_gops=2) covers every frame and
+        matches the per-GOP runner's PSNR/size lists."""
+        from tpuvc.eval.runner import eval_sequence_batched
+
+        model, variables = lhbdc
+        base = rng.random((128, 128, 3), dtype=np.float32)
+        drift = 0.01 * rng.standard_normal((128, 128, 3)).astype(np.float32)
+        frames = [
+            jnp.asarray(np.clip(base + i * drift, 0, 1))[None]
+            for i in range(17)
+        ]
+
+        def intra_fn(x):
+            return x, 512.0
+
+        @jax.jit
+        def fwd(v, r1, r2, xc):
+            out = model.apply(v, r1, xc, r2, "dequantize")
+            return out["x_hat"], out["sizes"]
+
+        def inter_batched(r1, r2, xc, idxs, refs):
+            return fwd(variables, r1, r2, xc)
+
+        kw = dict(
+            n_frames=17, gop=8, intra_fn=intra_fn,
+            inter_fn_batched=inter_batched, crop_hw=(128, 128),
+            max_batch=4,
+        )
+        p1, s1 = eval_sequence_batched(frames, **kw)
+        p2, s2 = eval_sequence_batched(frames, window_gops=2, **kw)
+        assert all(v > 0 for v in p2)
+        np.testing.assert_allclose(p2, p1, atol=0.02)
+        np.testing.assert_allclose(s2, s1, rtol=2e-3, atol=2.0)
+

@@ -339,6 +339,7 @@ def _run_levels(cfg, intra_pack, inter_pack, info):
                     crop_hw=frames.size, video=seq, level=level, info=info,
                     max_batch=cfg.max_batch,
                     compute_msssim=cfg.eval_msssim,
+                    window_gops=cfg.window_gops,
                 )
             else:
                 psnrs, sizes = eval_sequence(

@@ -69,6 +69,12 @@ class TestConfig:
     #: per-forward batch cap for the level-batched path (1080p graphs of
     #: batch 4/8 cost ~13 min of one-time compile; cached after).
     max_batch: int = 8
+    #: GOPs coded together per window in the level-batched path: the same
+    #: hierarchy level across the window's GOPs is batched in one forward,
+    #: so narrow levels also fill the MXU (scheduler.code_gops_batched).
+    #: Bounded by HBM: each window keeps window_gops*gop+1 decoded frames
+    #: on device (~25 MB each at 1080p).
+    window_gops: int = 1
     device_count: int = 1
     output_dir: str = "outputs"
     #: "float32" | "bfloat16": layer compute dtype (tpuvc.ops.precision).

@@ -106,6 +106,7 @@ def eval_sequence_batched(
     info: TestInfographic | None = None,
     max_batch: int | None = None,
     compute_msssim: bool = False,
+    window_gops: int = 1,
 ):
     """Level-batched sequence evaluation: the performance path.
 
@@ -120,11 +121,17 @@ def eval_sequence_batched(
       inter_fn_batched(ref1 (B,H,W,3), ref2, xcur, idxs, refs) ->
         (x_hat (B,H,W,3), sizes (B,)) with idxs/refs in GOP-local orders.
 
+    window_gops > 1 enables CROSS-GOP level batching: the same hierarchy
+    level of up to that many consecutive GOPs is coded in one batched
+    forward (tpuvc.gop.scheduler.code_gops_batched), so even the
+    narrow levels (1-2 frames per GOP) fill the MXU. Reconstructions are
+    bit-identical to the per-GOP schedule — only the batching changes.
+
     Returns (psnr_list, size_list) in display order over the covered
     prefix.
     """
     from tpuvc.gop.order import gop_coding_table
-    from tpuvc.gop.scheduler import code_gop_batched
+    from tpuvc.gop.scheduler import code_gop_batched, code_gops_batched
 
     h, w = crop_hw
     n_use = ((n_frames - 1) // gop) * gop + 1
@@ -159,23 +166,34 @@ def eval_sequence_batched(
             return frames[self.start + i]
 
     prev_anchor = None
-    for g in range(0, n_use - 1, gop):
-        if prev_anchor is None:
-            dec0, s0 = intra_fn(frames[g])
-            dec0 = jnp.clip(dec0, 0.0, 1.0)
-            record(g, "I", dec0, s0)
-        else:
-            dec0 = prev_anchor
-        dec1, s1 = intra_fn(frames[g + gop])
-        dec1 = jnp.clip(dec1, 0.0, 1.0)
-        record(g + gop, "I", dec1, s1)
+    window = max(1, window_gops) * gop
+    for w0 in range(0, n_use - 1, window):
+        starts = list(range(w0, min(w0 + window, n_use - 1), gop))
+        anchors: dict[int, jnp.ndarray] = {}
+        for b in [w0] + [g + gop for g in starts]:
+            if b == w0 and prev_anchor is not None:
+                anchors[b] = prev_anchor
+                continue
+            dec, s = intra_fn(frames[b])
+            dec = jnp.clip(dec, 0.0, 1.0)
+            anchors[b] = dec
+            record(b, "I", dec, s)
 
-        decoded, sizes = code_gop_batched(
-            _Window(g), {0: dec0, gop: dec1}, table, inter_fn_batched,
-            max_batch=max_batch,
-        )
-        for f, bits in sizes.items():
-            record(g + f, "B", decoded[f], bits)
-        prev_anchor = dec1
+        if len(starts) == 1:
+            g = starts[0]
+            decoded, sizes = code_gop_batched(
+                _Window(g), {0: anchors[g], gop: anchors[g + gop]},
+                table, inter_fn_batched, max_batch=max_batch,
+            )
+            for f, bits in sizes.items():
+                record(g + f, "B", decoded[f], bits)
+        else:
+            decoded, sizes = code_gops_batched(
+                frames, anchors, table, inter_fn_batched, starts,
+                max_batch=max_batch,
+            )
+            for f, bits in sizes.items():
+                record(f, "B", decoded[f], bits)
+        prev_anchor = anchors[starts[-1] + gop]
 
     return psnr_list, size_list

@@ -42,12 +42,12 @@ def best_down_ratio_prediction(
     ``predict(ratio)`` returns the flow-only compensated frame.
     Returns (best_ratio, best_psnr).
     """
-    best_ratio, best_psnr = ratios[0], -float("inf")
-    for ratio in ratios:
-        p = float(psnr_of(predict(ratio), xcur))
-        if p > best_psnr:
-            best_psnr, best_ratio = p, ratio
-    return best_ratio, best_psnr
+    # Dispatch every candidate before fetching: one host sync for the
+    # whole search instead of one per ratio (each device->host round trip
+    # costs ~25-40 ms through the axon relay).
+    ps = np.asarray(jnp.stack([psnr_of(predict(r), xcur) for r in ratios]))
+    best = int(np.argmax(ps))
+    return ratios[best], float(ps[best])
 
 
 def best_down_ratio_rd(
@@ -60,13 +60,13 @@ def best_down_ratio_rd(
 
     ``evaluate(ratio)`` returns (x_hat, rate). Returns (best_ratio, loss).
     """
-    best_ratio, best_loss = ratios[0], float("inf")
-    for ratio in ratios:
+    losses = []
+    for ratio in ratios:  # dispatch all, fetch once (relay round trip)
         x_hat, rate = evaluate(ratio)
-        loss = float(beta * jnp.mean((x_hat - xcur) ** 2) + jnp.mean(rate))
-        if loss < best_loss:
-            best_loss, best_ratio = loss, ratio
-    return best_ratio, best_loss
+        losses.append(beta * jnp.mean((x_hat - xcur) ** 2) + jnp.mean(rate))
+    losses = np.asarray(jnp.stack(losses))
+    best = int(np.argmin(losses))
+    return ratios[best], float(losses[best])
 
 
 def fractional_ratio_search(
@@ -85,14 +85,15 @@ def fractional_ratio_search(
 
     Returns (chosen_ratio, chosen_psnr, best_psnr).
     """
-    best_ratio, best_psnr = None, -float("inf")
+    ps = np.asarray(jnp.stack([psnr_of(predict(r), xcur) for r in ratios]))
+    best = int(np.argmax(ps))
+    best_ratio, best_psnr = ratios[best], float(ps[best])
     prev_psnr = None
-    for ratio in ratios:
-        p = float(psnr_of(predict(ratio), xcur))
-        if prev_ratio is not None and ratio == prev_ratio:
-            prev_psnr = p
-        if p > best_psnr:
-            best_psnr, best_ratio = p, ratio
+    if prev_ratio is not None:
+        for i, ratio in enumerate(ratios):
+            if ratio == prev_ratio:
+                prev_psnr = float(ps[i])
+                break
     if (
         prev_ratio is not None
         and prev_psnr is not None

@@ -21,6 +21,71 @@ import jax.numpy as jnp
 from tpuvc.gop.order import GopTable
 
 
+def code_gops_batched(
+    frames,
+    i_frames: dict[int, jnp.ndarray],
+    table: GopTable,
+    inter_fn_batched: Callable,
+    gop_starts: list[int],
+    max_batch: int | None = None,
+):
+    """Code several GOPs with CROSS-GOP level batching.
+
+    Hierarchy levels only order frames *within* a GOP; the same level of
+    different GOPs shares no dependencies, so a window of G GOPs can run
+    every level at batch G * level_width instead of level_width. For
+    GOP-16 with G=8 that turns the batch-1/2/4 forwards of the per-GOP
+    schedule (under-filled MXU) into uniformly batch-8 forwards — the
+    natural pipeline axis of long-sequence eval (SURVEY.md 2.5.2), since
+    every UVG sequence is 300/600 frames = 18/37 GOPs.
+
+    Args:
+      frames: indexable by ABSOLUTE frame index.
+      i_frames: {absolute index: decoded I} for every window boundary
+        (g and g+gop for each g in gop_starts).
+      inter_fn_batched: as in code_gop_batched — idxs/refs stay GOP-local,
+        which is well-defined across GOPs because a hierarchy level has
+        the same local geometry in every GOP.
+      gop_starts: absolute start index of each GOP in the window.
+
+    Returns ({absolute frame_idx: decoded}, {absolute frame_idx: bits}).
+    """
+    decoded = dict(i_frames)
+    sizes: dict[int, float] = {}
+    for level_frames in table.frames_by_level():
+        work = [(g0, f) for f in level_frames for g0 in gop_starts]
+        chunks = (
+            [work]
+            if max_batch is None
+            else [
+                work[i : i + max_batch]
+                for i in range(0, len(work), max_batch)
+            ]
+        )
+        for chunk in chunks:
+            refs = [table.refs[f] for _, f in chunk]
+            ref1 = jnp.concatenate(
+                [decoded[g0 + a] for (g0, _), (a, _) in zip(chunk, refs)],
+                axis=0,
+            )
+            ref2 = jnp.concatenate(
+                [decoded[g0 + b] for (g0, _), (_, b) in zip(chunk, refs)],
+                axis=0,
+            )
+            xcur = jnp.concatenate(
+                [frames[g0 + f] for g0, f in chunk], axis=0
+            )
+            x_hat, level_sizes = inter_fn_batched(
+                ref1, ref2, xcur,
+                tuple(f for _, f in chunk), tuple(refs),
+            )
+            x_hat = jnp.clip(x_hat, 0.0, 1.0)
+            for i, (g0, f) in enumerate(chunk):
+                decoded[g0 + f] = x_hat[i : i + 1]
+                sizes[g0 + f] = float(level_sizes[i])
+    return decoded, sizes
+
+
 def code_gop_batched(
     frames,
     i_frames: dict[int, jnp.ndarray],
