@@ -1,0 +1,189 @@
+"""Encode a frame sequence hierarchically (I + dyadic B GOPs) to one file.
+
+    python -m tpuvc.cli.encode_v --frames /data/UVG/beauty --n_frames 65 \
+        --bin out.tpvb --family lhbdc --gop 16 --l 1626
+
+Whole-sequence surface for the hierarchical B codecs: ELIC intra streams
+at GOP boundaries, B-frame streams from the chosen family in the dyadic
+coding order, all in one VSequenceBitstream file. The reference codes one
+B-frame per file (LHBDC/encode_B.py:114-126) and evaluates sequences with
+likelihood bit-counts only; this CLI is the real-bitstream completion of
+that pipeline. The decoder (tpuvc.cli.decode_v) re-derives the schedule
+from the header and the reference-frame pairs from the same DPB walk, so
+streams are self-contained.
+
+The encoder reconstructs every coded frame exactly as the decoder will
+(same decode path, same DPB), so encoder/decoder drift is structurally
+impossible.
+
+Weights: ``--weights`` points at the B-family checkpoint directory (same
+naming as encode_b), ``--weights_intra`` at the ELIC .msgpack;
+``--init random`` skips loading for structural smoke runs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--frames", default=None,
+                   help="directory of PNG frames (sorted)")
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="use N synthetic frames instead of --frames")
+    p.add_argument("--width", type=int, default=192)
+    p.add_argument("--height", type=int, default=128)
+    p.add_argument("--n_frames", type=int, default=None)
+    p.add_argument("--bin", default="out.tpvb")
+    p.add_argument(
+        "--family",
+        choices=["lhbdc", "flexrate", "deform_b", "flowguided_b"],
+        default="lhbdc",
+    )
+    p.add_argument("--gop", type=int, default=16)
+    # Rate knobs (family-dependent, as in encode_b).
+    p.add_argument("--l", type=int, default=1626,
+                   help="lhbdc lambda / flexrate interp numerator id")
+    p.add_argument("--n", type=int, default=0,
+                   help="flexrate gain level")
+    p.add_argument("--interp", type=float, default=1.0,
+                   help="flexrate interpolation factor")
+    p.add_argument("--s", type=float, default=0.0,
+                   help="v3/v4 fractional rate level")
+    p.add_argument("--down_ratio", type=int, default=1,
+                   help="v4 motion downsampling ratio")
+    p.add_argument("--weights", default="pretrained_weights")
+    p.add_argument("--weights_intra", default="elic.msgpack")
+    p.add_argument("--init", choices=["load", "random"], default="load")
+    p.add_argument("--N", type=int, default=128)
+    p.add_argument("--intra_N", type=int, default=192)
+    p.add_argument("--intra_M", type=int, default=320)
+    p.add_argument("--intra_groups", default=None,
+                   help="comma ints summing to intra_M (default ELIC groups)")
+    return p
+
+
+def build_intra(args):
+    import jax
+    import jax.numpy as jnp
+
+    from tpuvc.models.elic import ELIC, ELICCoder
+
+    if args.intra_groups:
+        groups = tuple(int(v) for v in args.intra_groups.split(","))
+    else:
+        groups = (16, 16, 32, 64, 192) if args.intra_M == 320 else None
+    kw = {"N": args.intra_N, "M": args.intra_M}
+    if groups is not None:
+        kw["groups"] = groups
+    intra = ELIC(**kw)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = intra.init(jax.random.key(0), x, "dequantize")
+    if args.init == "load":
+        from tpuvc.utils.checkpoint import load_checkpoint
+
+        variables = {"params": load_checkpoint(args.weights_intra)["params"]}
+    return ELICCoder(intra, variables)
+
+
+def load_frames(args):
+    if args.synthetic:
+        from tpuvc.data.uvg import SyntheticSequence
+
+        return SyntheticSequence(
+            n_frames=args.synthetic, h=args.height, w=args.width
+        )
+    from tpuvc.data.uvg import SequenceFrames
+
+    if not args.frames:
+        raise SystemExit("need --frames DIR or --synthetic N")
+    return SequenceFrames(args.frames, n_frames=args.n_frames)
+
+
+def code_b_frame(coder, family, args, ref1, ref2, xcur, idx, o1, o2):
+    """Encode one B-frame with the family's coder; returns the bitstream."""
+    if family == "lhbdc":
+        return coder.encode(ref1, xcur, ref2, rate_id=args.l)
+    if family == "flexrate":
+        return coder.encode(ref1, xcur, ref2, n=args.n, l=args.interp)
+    if family == "deform_b":
+        return coder.encode(ref1, ref2, xcur, s=args.s)
+    from tpuvc.models.flowguided_b import get_scales
+
+    s1, s2 = get_scales(idx, o1, o2)
+    return coder.encode(
+        ref1, ref2, xcur, s=args.s, scale1=s1, scale2=s2,
+        down_ratio=args.down_ratio,
+    )
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from tpuvc.utils.jaxcache import enable as enable_cache
+
+    enable_cache()
+
+    import jax.numpy as jnp
+
+    from tpuvc.cli.encode_b import load_model, make_coder
+    from tpuvc.coder.container import IFrameBitstream, VSequenceBitstream
+    from tpuvc.eval.metrics import psnr_uint8
+    from tpuvc.gop.dpb import DecodedPictureBuffer
+    from tpuvc.gop.order import sequence_schedule
+    from tpuvc.ops.pad import pad_to_multiple
+
+    frames = load_frames(args)
+    h, w = frames.size
+    n = len(frames)
+    model, variables = load_model(args)
+    coder = make_coder(args, model, variables)
+    intra_coder = build_intra(args)
+
+    order, typ = sequence_schedule(args.gop, n)
+    dpb = DecodedPictureBuffer()
+    blobs: list = []
+    t0 = time.perf_counter()
+    for idx in order:
+        x, _ = pad_to_multiple(jnp.asarray(frames[idx]), 64)
+        if typ[idx] == "I":
+            out = intra_coder.compress(x)
+            dec = intra_coder.synthesize(out["y_hat"])
+            blob = IFrameBitstream.from_compress(out).serialize()
+            ftyp = "I"
+        else:
+            ref1, ref2, o1, o2 = dpb.select_references(idx)
+            bits = code_b_frame(
+                coder, args.family, args, ref1, ref2, x, idx, o1, o2
+            )
+            # Reconstruct through the decoder path: the buffered frame is
+            # exactly what decode_v will buffer.
+            dec = coder.decode(ref1, ref2, bits)
+            blob = bits.serialize()
+            ftyp = "B"
+        dec = jnp.clip(dec, 0.0, 1.0)
+        dpb.add(dec, idx)
+        blobs.append((idx, ftyp, blob))
+        p = psnr_uint8(dec[:, :h, :w], jnp.asarray(frames[idx])[:, :h, :w])
+        print(
+            f"frame {idx:4d} {ftyp} {len(blob)} bytes "
+            f"({8 * len(blob) / (h * w):.4f} bpp) psnr {float(p):.2f}"
+        )
+    seq = VSequenceBitstream(
+        family=args.family, width=w, height=h, gop=args.gop, n_frames=n,
+        frames=[(t, b) for _, t, b in blobs],
+    )
+    blob = seq.serialize()
+    with open(args.bin, "wb") as f:
+        f.write(blob)
+    print(
+        f"wrote {len(blob)} bytes ({n} frames, "
+        f"{8 * len(blob) / (h * w * n):.4f} bpp) to {args.bin} "
+        f"in {time.perf_counter() - t0:.1f}s"
+    )
+
+
+if __name__ == "__main__":
+    main()

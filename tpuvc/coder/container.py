@@ -306,3 +306,73 @@ class PSequenceBitstream:
             frames.append(("I" if t == 0 else "P", blob[off : off + L]))
             off += L
         return cls(width=w, height=h, frames=frames)
+
+
+B_FAMILY_IDS = {"lhbdc": 0, "flexrate": 1, "deform_b": 2, "flowguided_b": 3}
+B_FAMILY_NAMES = {v: k for k, v in B_FAMILY_IDS.items()}
+
+
+@dataclass
+class VSequenceBitstream:
+    """Whole hierarchically-coded sequence: ELIC I-frames + B-frames from
+    one of the four B codec families, the file exchanged by
+    ``tpuvc.cli.encode_v`` / ``decode_v``.
+
+    The reference has no sequence-level B bitstream (its encode_B/decode_B
+    code one frame per file, LHBDC/encode_B.py:114-126); this container is
+    the natural completion: frames ride in CODING order (the header's
+    (gop, n_frames) pair determines the schedule deterministically via
+    ``tpuvc.gop.order.sequence_schedule``, so the decoder needs no
+    side-channel).
+
+    Layout: b"TPV1" | uint8 family | uint16 width | uint16 height |
+    uint16 gop | uint16 n_frames | per frame in coding order:
+    uint8 type (0=I, 1=B) | uint32 length | blob.
+    width/height are the unpadded display size.
+    """
+
+    family: str
+    width: int
+    height: int
+    gop: int
+    n_frames: int
+    frames: list = field(default_factory=list)  # [(type_str, blob)]
+
+    MAGIC = b"TPV1"
+    HEADER = "<4sBHHHH"
+
+    @property
+    def num_bytes(self) -> int:
+        return struct.calcsize(self.HEADER) + sum(
+            5 + len(b) for _, b in self.frames
+        )
+
+    def serialize(self) -> bytes:
+        out = [
+            struct.pack(
+                self.HEADER, self.MAGIC, B_FAMILY_IDS[self.family],
+                self.width, self.height, self.gop, self.n_frames,
+            )
+        ]
+        for typ, blob in self.frames:
+            out.append(struct.pack("<BI", 0 if typ == "I" else 1, len(blob)))
+            out.append(blob)
+        return b"".join(out)
+
+    @classmethod
+    def deserialize(cls, blob: bytes) -> "VSequenceBitstream":
+        hsize = struct.calcsize(cls.HEADER)
+        magic, fam, w, h, gop, n = struct.unpack(cls.HEADER, blob[:hsize])
+        if magic != cls.MAGIC:
+            raise ValueError(f"bad sequence magic: {magic!r}")
+        off = hsize
+        frames = []
+        for _ in range(n):
+            t, L = struct.unpack("<BI", blob[off : off + 5])
+            off += 5
+            frames.append(("I" if t == 0 else "B", blob[off : off + L]))
+            off += L
+        return cls(
+            family=B_FAMILY_NAMES[fam], width=w, height=h, gop=gop,
+            n_frames=n, frames=frames,
+        )

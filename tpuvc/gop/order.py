@@ -141,3 +141,18 @@ def get_order_typ_list(intra_size: int, frame_number: int):
     if frame_number == 600:
         o[-7:] = [599, 595, 593, 597, 594, 596, 598]
     return o, typ
+
+
+def sequence_schedule(gop: int, frame_number: int):
+    """Header-derivable whole-sequence schedule for the V-sequence coder.
+
+    GOP 16 uses the reference's algorithmic dyadic order with its tail
+    patches (get_order_typ_list, ICIP2023/src/utils.py:188-220); other GOP
+    sizes tile the static dyadic tables (sequence_order_from_table — the
+    LHBDC/Flex-Rate harness scheme). Both sides of the codec call this with
+    the (gop, n_frames) pair from the VSequenceBitstream header, so the
+    coding order is never transmitted.
+    """
+    if gop == 16:
+        return get_order_typ_list(16, frame_number)
+    return sequence_order_from_table(gop, frame_number)
