@@ -72,3 +72,20 @@ class TestLHBDCBitstream:
         # within ~10% + a fixed overhead (SURVEY.md 7.3 item 6).
         assert real_bits < est_bits * 1.10 + 1500, (real_bits, est_bits)
         assert real_bits > est_bits * 0.85 - 200, (real_bits, est_bits)
+
+
+class TestEncodeRecon:
+    """encode_recon must return exactly the decoder's reconstruction."""
+
+    def test_lhbdc(self, coder, rng):
+        model, variables, c = coder
+        base = rng.random((1, 192, 192, 3), dtype=np.float32)
+        drift = 0.03 * rng.standard_normal((1, 192, 192, 3)).astype(np.float32)
+        xb = jnp.asarray(base)
+        xc = jnp.clip(jnp.asarray(base + 0.5 * drift), 0, 1)
+        xa = jnp.clip(jnp.asarray(base + drift), 0, 1)
+
+        bits, recon = c.encode_recon(xb, xc, xa, rate_id=845)
+        parsed = BFrameBitstream.deserialize(bits.serialize())
+        x_hat = c.decode(xb, xa, parsed)
+        np.testing.assert_array_equal(np.asarray(recon), np.asarray(x_hat))

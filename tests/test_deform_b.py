@@ -75,3 +75,15 @@ class TestDeformBBitstream:
         assert x_hat.shape == xc.shape
         x_hat2 = coder.decode(x1, x2, parsed)
         np.testing.assert_array_equal(np.asarray(x_hat), np.asarray(x_hat2))
+
+    def test_encode_recon_matches_decode(self, deformb, rng):
+        from tpuvc.coder.container import VFrameBitstream
+        from tpuvc.models.deform_b import DeformBCoder
+
+        model, variables = deformb
+        x1, xc, x2 = _frames(rng)
+        coder = DeformBCoder(model, variables)
+        bits, recon = coder.encode_recon(x1, x2, xc, s=1.0)
+        parsed = VFrameBitstream.deserialize(bits.serialize())
+        x_hat = coder.decode(x1, x2, parsed)
+        np.testing.assert_array_equal(np.asarray(recon), np.asarray(x_hat))

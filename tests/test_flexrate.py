@@ -103,3 +103,14 @@ class TestBidirFlowRef:
         assert x_hat.shape == xc.shape
         x_hat2 = coder.decode(xb, xa, parsed)
         np.testing.assert_array_equal(np.asarray(x_hat), np.asarray(x_hat2))
+
+    def test_encode_recon_matches_decode(self, flex, rng):
+        model, variables = flex
+        xb, xc, xa = _frames(rng)
+        coder = FlexRateCoder(model, variables)
+        bits, recon = coder.encode_recon(xb, xc, xa, n=1, l=0.7)
+        from tpuvc.coder.container import BFrameBitstream
+
+        parsed = BFrameBitstream.deserialize(bits.serialize())
+        x_hat = coder.decode(xb, xa, parsed)
+        np.testing.assert_array_equal(np.asarray(recon), np.asarray(x_hat))

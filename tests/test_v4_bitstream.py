@@ -55,6 +55,21 @@ class TestFlowGuidedBitstream:
         x_hat2 = coder.decode(x1, x2, parsed)
         np.testing.assert_array_equal(np.asarray(x_hat), np.asarray(x_hat2))
 
+    def test_encode_recon_matches_decode(self, fgb_coder, rng):
+        model, variables, coder = fgb_coder
+        base = rng.random((1, 64, 64, 3), dtype=np.float32)
+        drift = 0.03 * rng.standard_normal((1, 64, 64, 3)).astype(np.float32)
+        x1 = jnp.asarray(base)
+        xc = jnp.clip(jnp.asarray(base + 0.5 * drift), 0, 1)
+        x2 = jnp.clip(jnp.asarray(base + drift), 0, 1)
+
+        bits, recon = coder.encode_recon(
+            x1, x2, xc, s=1.0, scale1=0.5, scale2=-0.5
+        )
+        parsed = VFrameBitstream.deserialize(bits.serialize())
+        x_hat = coder.decode(x1, x2, parsed)
+        np.testing.assert_array_equal(np.asarray(recon), np.asarray(x_hat))
+
     def test_stream_bits_close_to_likelihood_bits(self, fgb_coder, rng):
         model, variables, coder = fgb_coder
         base = rng.random((1, 64, 64, 3), dtype=np.float32)

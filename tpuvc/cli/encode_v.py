@@ -103,17 +103,17 @@ def load_frames(args):
 
 
 def code_b_frame(coder, family, args, ref1, ref2, xcur, idx, o1, o2):
-    """Encode one B-frame with the family's coder; returns the bitstream."""
+    """Encode one B-frame; returns (bitstream, decoder-identical recon)."""
     if family == "lhbdc":
-        return coder.encode(ref1, xcur, ref2, rate_id=args.l)
+        return coder.encode_recon(ref1, xcur, ref2, rate_id=args.l)
     if family == "flexrate":
-        return coder.encode(ref1, xcur, ref2, n=args.n, l=args.interp)
+        return coder.encode_recon(ref1, xcur, ref2, n=args.n, l=args.interp)
     if family == "deform_b":
-        return coder.encode(ref1, ref2, xcur, s=args.s)
+        return coder.encode_recon(ref1, ref2, xcur, s=args.s)
     from tpuvc.models.flowguided_b import get_scales
 
     s1, s2 = get_scales(idx, o1, o2)
-    return coder.encode(
+    return coder.encode_recon(
         ref1, ref2, xcur, s=args.s, scale1=s1, scale2=s2,
         down_ratio=args.down_ratio,
     )
@@ -155,12 +155,12 @@ def main(argv=None):
             ftyp = "I"
         else:
             ref1, ref2, o1, o2 = dpb.select_references(idx)
-            bits = code_b_frame(
+            # encode_recon reconstructs from the decoder-identical quantized
+            # latents, so the buffered frame is exactly what decode_v will
+            # buffer — without a second full decode pass.
+            bits, dec = code_b_frame(
                 coder, args.family, args, ref1, ref2, x, idx, o1, o2
             )
-            # Reconstruct through the decoder path: the buffered frame is
-            # exactly what decode_v will buffer.
-            dec = coder.decode(ref1, ref2, bits)
             blob = bits.serialize()
             ftyp = "B"
         dec = jnp.clip(dec, 0.0, 1.0)

@@ -267,6 +267,43 @@ class DeformBCoder:
             streams=list(off["streams"]) + list(res["streams"]),
         )
 
+    def encode_recon(self, xref1, xref2, xcur, s):
+        """Encode + decoder-identical reconstruction in one pass: the
+        res compress already synthesizes from the quantized latents
+        (CondELICCoder.compress "outs"), so the reconstruction costs one
+        extra _recon call instead of a full decode."""
+        from tpuvc.coder.container import VFrameBitstream
+
+        cond, offset_temp, fref1, fref2 = self._context(
+            self.variables, xref1, xref2
+        )
+        fcur = self._features(self.variables, xcur)
+        inputs = tuple(
+            jnp.concatenate([c, f], axis=-1) for c, f in zip(cond, fcur)
+        )
+        off = self.offset_coder.compress(inputs, cond, offset_temp, s)
+        # compress "outs" are synthesized from the decoder-identical
+        # quantized latents — no need to re-decode the offset streams.
+        x_comp = self._fuse(self.variables, off["outs"], fref1, fref2)
+        res_temp = self._res_cond(self.variables, x_comp)
+        res_inputs = tuple(
+            jnp.concatenate([f, xc], axis=-1) for f, xc in zip(fcur, x_comp)
+        )
+        res = self.res_coder.compress(
+            res_inputs, x_comp, res_temp, s, x_pixel=xcur
+        )
+        bits = VFrameBitstream(
+            s_milli=int(round(float(s) * 1000)),
+            down_ratio=1,
+            scale1_centi=0,
+            scale2_centi=0,
+            z_shape=off["z_shape"],
+            streams=list(off["streams"]) + list(res["streams"]),
+        )
+        x_full = tuple(xc + r for xc, r in zip(x_comp, res["outs"]))
+        x_hat = self._recon(self.variables, *x_full)
+        return bits, x_hat
+
     def decode(self, xref1, xref2, bitstream):
         s = bitstream.s_milli / 1000.0
         n = 1 + 2 * len(self.model.groups)

@@ -252,7 +252,15 @@ class GainedHyperpriorCoder:
             y_sym, y_idx, self.y_tables.cdfs, self.y_tables.cdf_lengths,
             self.y_tables.offsets,
         )
-        return {"strings": [y_string, z_string], "shape": scaled_z.shape[1:3]}
+        return {
+            "strings": [y_string, z_string],
+            "shape": scaled_z.shape[1:3],
+            "y_hat": jnp.asarray(y_sym, jnp.float32) + means,
+        }
+
+    def synthesize(self, y_hat, n: int, l: float = 1.0):
+        """Decoded output from the quantized gained latent."""
+        return self._synthesis(self.variables, y_hat, n, l)
 
     def decompress(self, strings, shape, n: int, l: float = 1.0, batch: int = 1):
         from tpuvc.coder import decode_with_indexes
@@ -335,6 +343,32 @@ class FlexRateCoder:
             res_y=res["strings"][0],
             res_z=res["strings"][1],
         )
+
+    def encode_recon(self, x_before, x_current, x_after, n: int,
+                     l: float = 1.0):
+        """Encode + decoder-identical reconstruction in one pass (see
+        LHBDCCoder.encode_recon)."""
+        from tpuvc.coder.container import BFrameBitstream
+
+        _, _, context = self._process(self.variables, x_before, x_after)
+        x_input = jnp.concatenate([context, x_current], axis=-1)
+        mv = self.flow_coder.compress(x_input, n, l)
+        x_comp = self._predict(
+            x_before, x_after, mv["strings"], mv["shape"], n, l
+        )
+        res = self.res_coder.compress(x_current - x_comp, n, l)
+        rate_id = n * 100000 + int(round(l * 1000))
+        bits = BFrameBitstream(
+            rate_id=rate_id,
+            mv_shape=tuple(mv["shape"]),
+            res_shape=tuple(res["shape"]),
+            mv_y=mv["strings"][0],
+            mv_z=mv["strings"][1],
+            res_y=res["strings"][0],
+            res_z=res["strings"][1],
+        )
+        x_hat = x_comp + self.res_coder.synthesize(res["y_hat"], n, l)
+        return bits, x_hat
 
     @staticmethod
     def parse_rate_id(rate_id: int) -> tuple[int, float]:

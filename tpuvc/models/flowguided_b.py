@@ -398,6 +398,40 @@ class FlowGuidedBCoder:
             streams=list(off["streams"]) + list(res["streams"]),
         )
 
+    def encode_recon(self, xref1, xref2, xcur, s, scale1, scale2,
+                     down_ratio: int = 1):
+        """Encode + decoder-identical reconstruction in one pass: both
+        conditional bottlenecks' compress calls already synthesize from the
+        quantized latents ("outs"), so neither stream is re-decoded."""
+        from tpuvc.coder.container import VFrameBitstream
+
+        cond, offset_temp, flows, fref1, fref2 = self._context(
+            self.variables, xref1, xref2, scale1, scale2, down_ratio
+        )
+        fcur = self._features(self.variables, xcur)
+        inputs = tuple(
+            jnp.concatenate([c, f], axis=-1) for c, f in zip(cond, fcur)
+        )
+        off = self.offset_coder.compress(inputs, cond, offset_temp, s)
+        x_comp = self._fuse(self.variables, off["outs"], fref1, fref2, flows)
+        res_temp = self._res_cond(self.variables, x_comp)
+        res_inputs = tuple(
+            jnp.concatenate([f, xc], axis=-1) for f, xc in zip(fcur, x_comp)
+        )
+        res = self.res_coder.compress(res_inputs, x_comp, res_temp, s)
+        assert off["z_shape"] == res["z_shape"]
+        bits = VFrameBitstream(
+            s_milli=int(round(float(s) * 1000)),
+            down_ratio=down_ratio,
+            scale1_centi=int(round(float(scale1) * 100)),
+            scale2_centi=int(round(float(scale2) * 100)),
+            z_shape=off["z_shape"],
+            streams=list(off["streams"]) + list(res["streams"]),
+        )
+        x_full = tuple(xc + r for xc, r in zip(x_comp, res["outs"]))
+        x_hat = self._recon(self.variables, *x_full)
+        return bits, x_hat
+
     def decode(self, xref1, xref2, bitstream):
         s = bitstream.s_milli / 1000.0
         scale1 = bitstream.scale1_centi / 100.0

@@ -187,7 +187,17 @@ class HyperpriorCoder:
             y_sym, y_idx, self.y_tables.cdfs, self.y_tables.cdf_lengths,
             self.y_tables.offsets,
         )
-        return {"strings": [y_string, z_string], "shape": z.shape[1:3]}
+        # y_hat: the decoder-identical quantized latent, so callers can
+        # reconstruct at encode time without re-decoding the stream.
+        return {
+            "strings": [y_string, z_string],
+            "shape": z.shape[1:3],
+            "y_hat": jnp.asarray(y_sym, jnp.float32) + means,
+        }
+
+    def synthesize(self, y_hat: jnp.ndarray) -> jnp.ndarray:
+        """Decoded output from the quantized latent (decoder-identical)."""
+        return self._synthesis(self.variables, y_hat)
 
     def decompress(self, strings, shape, batch: int = 1) -> jnp.ndarray:
         from tpuvc.coder import decode_with_indexes

@@ -236,6 +236,42 @@ class LHBDCCoder:
             res_z=res["strings"][1],
         )
 
+    def encode_recon(self, x_before, x_current, x_after, rate_id: int = 0):
+        """Encode + decoder-identical reconstruction in one pass.
+
+        The sequence encoder (tpuvc.cli.encode_v) buffers reconstructions
+        to code later hierarchy levels; re-running ``decode`` would repeat
+        the flow estimation and compensation already done here, so the
+        residual synthesis from the compress-side quantized latent (which
+        is bit-identical to the decoder's) saves a full second forward.
+        """
+        from tpuvc.coder.container import BFrameBitstream
+
+        flow_ba, flow_ab = self._motion_priors(
+            self.variables, x_before, x_after
+        )
+        flow_cb, flow_ca = self._current_flows(
+            self.variables, x_current, x_before, x_after
+        )
+        diff_flow = jnp.concatenate(
+            [flow_cb - flow_ab, flow_ca - flow_ba], axis=-1
+        )
+        mv = self.mv_coder.compress(diff_flow)
+        x_pred = self._predict(x_before, x_after, mv["strings"], mv["shape"])
+        residual = x_current - x_pred
+        res = self.res_coder.compress(residual)
+        bits = BFrameBitstream(
+            rate_id=rate_id,
+            mv_shape=tuple(mv["shape"]),
+            res_shape=tuple(res["shape"]),
+            mv_y=mv["strings"][0],
+            mv_z=mv["strings"][1],
+            res_y=res["strings"][0],
+            res_z=res["strings"][1],
+        )
+        x_hat = x_pred + self.res_coder.synthesize(res["y_hat"])
+        return bits, x_hat
+
     def decode(self, x_before, x_after, bitstream) -> jnp.ndarray:
         x_pred = self._predict(
             x_before, x_after, [bitstream.mv_y, bitstream.mv_z], bitstream.mv_shape
