@@ -35,12 +35,20 @@ def main():
     rng = np.random.default_rng(0)
     base = rng.random((h, w, 3), dtype=np.float32)
     drift = (0.01 * rng.standard_normal((h, w, 3))).astype(np.float32)
-    # Sources stay on host (the runner's lazy-upload pattern); only the
-    # decoded window lives in HBM.
-    frames = [
-        np.clip(base + (i % 17) * drift, 0, 1)[None]
-        for i in range(G * 16 + 1)
-    ]
+    # CROSSGOP_DEVICE=1: bench.py's regime — device-resident sources, with
+    # the 17 unique frames aliased across GOPs so HBM cost stays constant.
+    # Default: sources stay on host (the runner's lazy-upload pattern).
+    if os.environ.get("CROSSGOP_DEVICE"):
+        uniq = [
+            jnp.asarray(np.clip(base + i * drift, 0, 1))[None]
+            for i in range(17)
+        ]
+        frames = [uniq[i % 17] for i in range(G * 16 + 1)]
+    else:
+        frames = [
+            np.clip(base + (i % 17) * drift, 0, 1)[None]
+            for i in range(G * 16 + 1)
+        ]
 
     @jax.jit
     def forward(v, r1, r2, xc):

@@ -140,3 +140,48 @@ class TestEvalSequenceBatched:
         )
         assert len(p) == 17 and len(s) == 17
         assert all(v > 0 for v in s)
+
+
+class TestLowDelayRunner:
+    def test_schedule_and_diag(self):
+        """I every intra_period, P chained; diagnostics ledger filled."""
+        from tpuvc.data.uvg import SyntheticSequence
+        from tpuvc.eval.results_io import PerFrameDiagnostics
+        from tpuvc.eval.runner import eval_sequence_lowdelay
+
+        seq = SyntheticSequence(n_frames=9, h=64, w=64)
+        frames = [jnp.asarray(seq[i]) for i in range(len(seq))]
+        coded = []
+
+        def intra_fn(x):
+            coded.append("I")
+            return x, 400.0
+
+        def pframe_fn(x, dpb, ratio):
+            coded.append("P")
+            assert set(dpb) >= {"ref_frame", "ref_down_ratio"}
+            new_dpb = {"ref_frame": x, "ref_feature": None,
+                       "ref_down_ratio": ratio}
+            return x, 120.0, new_dpb, {"warp_psnr": 30.0, "bits_mv": 20.0,
+                                       "bits_y": 100.0}
+
+        searched = []
+
+        def ratio_for_frame(x, dpb):
+            searched.append(dpb["ref_down_ratio"])
+            return 2.0
+
+        diag = PerFrameDiagnostics()
+        psnrs, sizes = eval_sequence_lowdelay(
+            frames, 9, 4, intra_fn, pframe_fn, crop_hw=seq.size,
+            ratio_for_frame=ratio_for_frame, diagnostics=diag,
+        )
+        assert coded == ["I", "P", "P", "P", "I", "P", "P", "P", "I"]
+        assert len(psnrs) == 9 and len(sizes) == 9
+        assert sizes[0] == 400.0 and sizes[1] == 120.0
+        # Hysteresis sees the previous frame's chosen ratio.
+        assert searched == [1.0, 2.0, 2.0, 1.0, 2.0, 2.0]
+        rows = diag.rows
+        assert [r["type"] for r in rows] == coded
+        assert rows[1]["down_ratio"] == 2.0 and rows[0]["down_ratio"] == 1.0
+        assert rows[1]["bits_mv"] == 20.0

@@ -54,6 +54,10 @@ def build_parser():
                    help="v3/v4 fractional rate level")
     p.add_argument("--down_ratio", type=int, default=1,
                    help="v4 motion downsampling ratio")
+    p.add_argument("--adaptive", action="store_true",
+                   help="v4 per-frame down-ratio search (argmax warp-PSNR "
+                        "over {1,2,4,8,16}, ICIP2024/src/opt_helpers.py:41-51)"
+                   )
     p.add_argument("--weights", default="pretrained_weights")
     p.add_argument("--weights_intra", default="elic.msgpack")
     p.add_argument("--init", choices=["load", "random"], default="load")
@@ -102,7 +106,8 @@ def load_frames(args):
     return SequenceFrames(args.frames, n_frames=args.n_frames)
 
 
-def code_b_frame(coder, family, args, ref1, ref2, xcur, idx, o1, o2):
+def code_b_frame(coder, family, args, ref1, ref2, xcur, idx, o1, o2,
+                 pred_cache=None):
     """Encode one B-frame; returns (bitstream, decoder-identical recon)."""
     if family == "lhbdc":
         return coder.encode_recon(ref1, xcur, ref2, rate_id=args.l)
@@ -113,9 +118,27 @@ def code_b_frame(coder, family, args, ref1, ref2, xcur, idx, o1, o2):
     from tpuvc.models.flowguided_b import get_scales
 
     s1, s2 = get_scales(idx, o1, o2)
+    ratio = args.down_ratio
+    if args.adaptive:
+        import jax
+
+        from tpuvc.gop.adaptive import best_down_ratio_prediction
+        from tpuvc.models.flowguided_b import FlowGuidedB
+
+        def predict(r):
+            if r not in pred_cache:
+                pred_cache[r] = jax.jit(
+                    lambda v, a, b, x1, x2, r=r: coder.model.apply(
+                        v, a, b, x1, x2, r,
+                        method=FlowGuidedB.prediction_flowonly,
+                    )
+                )
+            return pred_cache[r](coder.variables, ref1, ref2, s1, s2)
+
+        ratio, _ = best_down_ratio_prediction(predict, xcur)
     return coder.encode_recon(
         ref1, ref2, xcur, s=args.s, scale1=s1, scale2=s2,
-        down_ratio=args.down_ratio,
+        down_ratio=ratio,
     )
 
 
@@ -145,6 +168,7 @@ def main(argv=None):
     order, typ = sequence_schedule(args.gop, n)
     dpb = DecodedPictureBuffer()
     blobs: list = []
+    pred_cache: dict = {}
     t0 = time.perf_counter()
     for idx in order:
         x, _ = pad_to_multiple(jnp.asarray(frames[idx]), 64)
@@ -159,7 +183,8 @@ def main(argv=None):
             # latents, so the buffered frame is exactly what decode_v will
             # buffer — without a second full decode pass.
             bits, dec = code_b_frame(
-                coder, args.family, args, ref1, ref2, x, idx, o1, o2
+                coder, args.family, args, ref1, ref2, x, idx, o1, o2,
+                pred_cache=pred_cache,
             )
             blob = bits.serialize()
             ftyp = "B"

@@ -61,6 +61,15 @@ def build_models(cfg, rng_seed: int = 0):
         variables = model.init(
             key, init_x, init_x, init_x, 0, 0.5, -0.5, 1, "dequantize"
         )
+    elif fam == "dmc":
+        from tpuvc.models.dmc import PFrameDMC
+
+        # Canonical DMC size (as in the train CLI): N=64 latents, 48
+        # feature channels — independent of the B families' model.N.
+        model = PFrameDMC()
+        dpb0 = {"ref_frame": init_x, "ref_feature": None,
+                "ref_down_ratio": 1.0}
+        variables = model.init(key, init_x, dpb0, 1.0, "dequantize")
     else:
         raise ValueError(f"unknown model family: {fam}")
     return (intra, intra_vars), (model, variables)
@@ -168,6 +177,89 @@ def make_frame_fns(cfg, intra_pack, inter_pack, level: int):
     else:
         raise ValueError(fam)
     return intra_fn, inter_fn
+
+
+def make_dmc_fns(cfg, intra_pack, inter_pack, level: int):
+    """(intra_fn, pframe_fn, ratio_for_frame) for the low-delay DMC eval
+    (the OJSP harness role: forward_one_frame + the fractional ratio
+    search, /root/reference/OJSP2025/video_model.py:505-666)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuvc.gop.adaptive import fractional_ratio_search
+    from tpuvc.models.dmc import PFrameDMC
+
+    intra, intra_vars = intra_pack
+    model, variables = inter_pack
+
+    @jax.jit
+    def intra_fn_j(v, x):
+        out = intra.apply(v, x, "dequantize")
+        bits = sum(
+            -jnp.sum(jnp.log2(jnp.maximum(l, 1e-9)))
+            for l in out["likelihoods"].values()
+        )
+        return out["x_hat"], bits
+
+    def intra_fn(x):
+        return intra_fn_j(intra_vars, x)
+
+    from tpuvc.gop.adaptive import psnr_of
+
+    q = float(level)
+    want_diag = bool(cfg.dmc_diag_csv)
+    fwd_cache = {}
+
+    def pframe_fn(x, dpb, ratio):
+        if ratio not in fwd_cache:
+            fwd_cache[ratio] = jax.jit(
+                lambda v, x, dpb, ratio=ratio: (
+                    lambda out: (
+                        out["x_hat"], out["bits"], out["dpb"],
+                        out["warped"], out["bits_mv"], out["bits_y"],
+                    )
+                )(model.apply(v, x, dpb, ratio, "dequantize", q=q))
+            )
+        x_hat, bits, new_dpb, warped, bmv, by = fwd_cache[ratio](
+            variables, x, dpb
+        )
+        # Keep the chosen ratio a host float so the next frame's hysteresis
+        # comparison costs no device sync.
+        new_dpb = dict(new_dpb)
+        new_dpb["ref_down_ratio"] = ratio
+        extras = (
+            {
+                "warp_psnr": float(psnr_of(warped, x)),
+                "bits_mv": float(bmv),
+                "bits_y": float(by),
+            }
+            if want_diag
+            else {}
+        )
+        return x_hat, bits, new_dpb, extras
+
+    pred_cache = {}
+
+    def ratio_for_frame(x, dpb):
+        if not cfg.adaptive_down_ratio:
+            return 1.0
+
+        def predict(ratio):
+            if ratio not in pred_cache:
+                pred_cache[ratio] = jax.jit(
+                    lambda v, x, ref, ratio=ratio: model.apply(
+                        v, x, ref, ratio, method=PFrameDMC.warp_prediction
+                    )
+                )
+            return pred_cache[ratio](variables, x, dpb["ref_frame"])
+
+        ratio, _, _ = fractional_ratio_search(
+            predict, x, prev_ratio=dpb.get("ref_down_ratio"),
+            ratios=tuple(cfg.dmc_ratios),
+        )
+        return ratio
+
+    return intra_fn, pframe_fn, ratio_for_frame
 
 
 def make_batched_inter_fn(cfg, inter_pack, level: int, gop: int):
@@ -295,6 +387,9 @@ def _run_levels(cfg, intra_pack, inter_pack, info):
     from tpuvc.gop.order import get_order_typ_list, sequence_order_from_table
 
     for level in cfg.levels:
+        if cfg.model.family == "dmc":
+            _run_dmc_level(cfg, intra_pack, inter_pack, level, info)
+            continue
         intra_fn, inter_fn = make_frame_fns(cfg, intra_pack, inter_pack, level)
         for seq, n_frames in cfg.dataset.sequences.items():
             if cfg.dataset.name == "synthetic":
@@ -352,6 +447,54 @@ def _run_levels(cfg, intra_pack, inter_pack, info):
                 f"{sum(psnrs)/len(psnrs):.2f} bpp "
                 f"{sum(sizes)/len(sizes)/(frames.size[0]*frames.size[1]):.4f}"
             )
+
+
+def _run_dmc_level(cfg, intra_pack, inter_pack, level, info):
+    """Low-delay DMC RD eval for one rate level (OJSP protocol: I every
+    dmc_intra_period, chained P frames, optional fractional ratio search +
+    per-frame diagnostics CSV)."""
+    import jax.numpy as jnp
+
+    from tpuvc.data.uvg import SequenceFrames
+    from tpuvc.eval.results_io import PerFrameDiagnostics
+    from tpuvc.eval.runner import eval_sequence_lowdelay
+
+    intra_fn, pframe_fn, ratio_for_frame = make_dmc_fns(
+        cfg, intra_pack, inter_pack, level
+    )
+    for seq, n_frames in cfg.dataset.sequences.items():
+        if cfg.dataset.name == "synthetic":
+            from tpuvc.data.uvg import SyntheticSequence
+
+            frames = SyntheticSequence(
+                n_frames=n_frames, h=cfg.dataset.height, w=cfg.dataset.width
+            )
+        else:
+            frames = SequenceFrames(
+                os.path.join(cfg.dataset.root, seq), n_frames
+            )
+
+        class _Device:
+            def __getitem__(self, i):
+                return jnp.asarray(frames[i])
+
+        diag = PerFrameDiagnostics() if cfg.dmc_diag_csv else None
+        psnrs, sizes = eval_sequence_lowdelay(
+            _Device(), len(frames), cfg.dmc_intra_period, intra_fn,
+            pframe_fn, crop_hw=frames.size, ratio_for_frame=ratio_for_frame,
+            video=seq, level=level, info=info,
+            diagnostics=diag, compute_msssim=cfg.eval_msssim,
+        )
+        if diag is not None:
+            path = os.path.join(
+                cfg.output_dir, f"{seq}_l{level}_{cfg.dmc_diag_csv}"
+            )
+            print(f"wrote per-frame diagnostics to {diag.write(path)}")
+        print(
+            f"level {level} {seq}: psnr "
+            f"{sum(psnrs)/len(psnrs):.2f} bpp "
+            f"{sum(sizes)/len(sizes)/(frames.size[0]*frames.size[1]):.4f}"
+        )
 
 
 if __name__ == "__main__":

@@ -75,6 +75,14 @@ class TestConfig:
     #: Bounded by HBM: each window keeps window_gops*gop+1 decoded frames
     #: on device (~25 MB each at 1080p).
     window_gops: int = 1
+    #: DMC (model.family=dmc) low-delay eval: I-frame period (the OJSP
+    #: harness codes I every 32), candidate fractional down ratios for the
+    #: adaptive search (each compiles one flow graph; the full OJSP grid
+    #: is 1..8.75 step 0.25), and an optional per-frame diagnostics CSV
+    #: (ratio/warp-PSNR/bpp split, OJSP2025/video_model.py:565-609).
+    dmc_intra_period: int = 32
+    dmc_ratios: tuple = (1.0, 1.5, 2.0, 3.0, 4.0)
+    dmc_diag_csv: str = ""
     device_count: int = 1
     output_dir: str = "outputs"
     #: "float32" | "bfloat16": layer compute dtype (tpuvc.ops.precision).

@@ -86,6 +86,80 @@ def eval_sequence(
     return psnr_list, size_list
 
 
+def eval_sequence_lowdelay(
+    frames: list,
+    n_frames: int,
+    intra_period: int,
+    intra_fn: Callable,
+    pframe_fn: Callable,
+    crop_hw: tuple[int, int],
+    ratio_for_frame: Callable | None = None,
+    video: str = "",
+    level: int = 0,
+    info: TestInfographic | None = None,
+    diagnostics=None,
+    compute_msssim: bool = False,
+):
+    """Low-delay P-frame evaluation (the OJSP harness's role,
+    /root/reference/OJSP2025/video_model.py:505-528 + 565-609): I every
+    ``intra_period`` frames, every other frame a P chained through the
+    decoded-picture-buffer dict.
+
+    Args:
+      intra_fn(x) -> (x_hat, size_bits)
+      pframe_fn(x, dpb, ratio) -> (x_hat, size_bits, new_dpb, extras)
+        with extras optionally carrying "warp_psnr"/"bits_mv"/"bits_y"
+        for the per-frame diagnostics ledger.
+      ratio_for_frame(x, dpb) -> down ratio (the fractional search with
+        hysteresis); None -> ratio 1.0 everywhere.
+      diagnostics: optional tpuvc.eval.results_io.PerFrameDiagnostics.
+
+    Returns (psnr_list, size_list) in display order.
+    """
+    h, w = crop_hw
+    psnr_list: list[float] = []
+    size_list: list[float] = []
+    dpb = None
+    for i in range(n_frames):
+        frame = frames[i]
+        extras: dict = {}
+        if i % intra_period == 0:
+            dec, size = intra_fn(frame)
+            dec = jnp.clip(dec, 0.0, 1.0)
+            dpb = {"ref_frame": dec, "ref_feature": None,
+                   "ref_down_ratio": 1.0}
+            typ, ratio = "I", 1.0
+        else:
+            ratio = (
+                ratio_for_frame(frame, dpb)
+                if ratio_for_frame is not None
+                else 1.0
+            )
+            dec, size, dpb, extras = pframe_fn(frame, dpb, ratio)
+            typ = "P"
+        p = float(psnr_uint8(frame[:, :h, :w], dec[:, :h, :w]))
+        size = float(size)
+        psnr_list.append(p)
+        size_list.append(size)
+        extra = {}
+        if compute_msssim:
+            from tpuvc.eval.metrics import msssim
+
+            extra["msssim"] = float(
+                msssim(frame[:, :h, :w], jnp.clip(dec[:, :h, :w], 0, 1))
+            )
+        if info is not None:
+            info.update(video, level, i, typ, p, size, h * w, **extra)
+        if diagnostics is not None:
+            diagnostics.update(
+                frame=i, type=typ, down_ratio=ratio, psnr=p,
+                warp_psnr=extras.get("warp_psnr"), bits=size,
+                bpp=size / (h * w), bits_mv=extras.get("bits_mv"),
+                bits_y=extras.get("bits_y"),
+            )
+    return psnr_list, size_list
+
+
 def summarize(psnr_list, size_list, crop_hw):
     h, w = crop_hw
     return {

@@ -17,6 +17,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 import jax.numpy as jnp
+import numpy as np
 
 from tpuvc.gop.order import GopTable
 
@@ -52,6 +53,7 @@ def code_gops_batched(
     """
     decoded = dict(i_frames)
     sizes: dict[int, float] = {}
+    pending: list = []
     for level_frames in table.frames_by_level():
         work = [(g0, f) for f in level_frames for g0 in gop_starts]
         chunks = (
@@ -82,7 +84,14 @@ def code_gops_batched(
             x_hat = jnp.clip(x_hat, 0.0, 1.0)
             for i, (g0, f) in enumerate(chunk):
                 decoded[g0 + f] = x_hat[i : i + 1]
-                sizes[g0 + f] = float(level_sizes[i])
+            pending.append((chunk, level_sizes))
+    # One host fetch for the whole window: intermediate syncs would stall
+    # the device between chunks (a relay round trip costs ~30 ms on axon);
+    # the decoded feed-forward chain stays on device throughout.
+    for chunk, level_sizes in pending:
+        level_sizes = np.asarray(level_sizes)
+        for i, (g0, f) in enumerate(chunk):
+            sizes[g0 + f] = float(level_sizes[i])
     return decoded, sizes
 
 
@@ -109,6 +118,7 @@ def code_gop_batched(
     """
     decoded = dict(i_frames)
     sizes: dict[int, float] = {}
+    pending: list = []
     for level_frames in table.frames_by_level():
         chunks = (
             [level_frames]
@@ -129,5 +139,10 @@ def code_gop_batched(
             x_hat = jnp.clip(x_hat, 0.0, 1.0)
             for i, f in enumerate(chunk):
                 decoded[f] = x_hat[i : i + 1]
-                sizes[f] = float(level_sizes[i])
+            pending.append((chunk, level_sizes))
+    # Deferred single-sync size fetch (see code_gops_batched).
+    for chunk, level_sizes in pending:
+        level_sizes = np.asarray(level_sizes)
+        for i, f in enumerate(chunk):
+            sizes[f] = float(level_sizes[i])
     return decoded, sizes

@@ -250,13 +250,15 @@ class PFrameDMC(nn.Module):
         )
         x_hat, feature, y_lik = self.code_frame(x, context, mode, rngs[1], q=q)
 
-        bits = sum(likelihood_to_bits(l) for l in mv_lik.values()) + sum(
-            likelihood_to_bits(l) for l in y_lik.values()
-        )
+        bits_mv = sum(likelihood_to_bits(l) for l in mv_lik.values())
+        bits_y = sum(likelihood_to_bits(l) for l in y_lik.values())
+        bits = bits_mv + bits_y
         return {
             "x_hat": x_hat,
             "warped": warped_x,
             "bits": bits,
+            "bits_mv": bits_mv,
+            "bits_y": bits_y,
             "rate": bits / (B * H * W),
             "dpb": {
                 "ref_frame": jnp.clip(x_hat, 0.0, 1.0),
