@@ -136,6 +136,7 @@ def code_b_frame(coder, family, args, ref1, ref2, xcur, idx, o1, o2,
             return pred_cache[r](coder.variables, ref1, ref2, s1, s2)
 
         ratio, _ = best_down_ratio_prediction(predict, xcur)
+        print(f"  frame {idx}: down_ratio {ratio}")
     return coder.encode_recon(
         ref1, ref2, xcur, s=args.s, scale1=s1, scale2=s2,
         down_ratio=ratio,

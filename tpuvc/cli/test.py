@@ -376,7 +376,33 @@ def main(argv=None):
         _run_levels(cfg, intra_pack, inter_pack, info)
     out = info.results_csv(os.path.join(cfg.output_dir, cfg.results_csv))
     print(out.to_string(index=False))
+    if cfg.write_plots:
+        _write_plots(cfg, info)
     print(f"elapsed {time.perf_counter() - t0:.1f}s")
+
+
+def _write_plots(cfg, info):
+    """RD curve (levels aggregated over sequences, vs BD anchors) and one
+    per-frame PSNR/bpp twin-axis figure per (sequence, level)."""
+    from tpuvc.eval.plots import per_frame_figure, rd_curve
+
+    lv = info.per_level()
+    path = rd_curve(
+        {cfg.model.family: (list(lv["bpp"]), list(lv["psnr"]))},
+        os.path.join(cfg.output_dir, "rd_curve.png"),
+        title=f"{cfg.model.family} RD",
+    )
+    print(f"wrote {path}")
+    df = info.dataframe()
+    for (seq, level), rows in df.groupby(["video", "level"]):
+        rows = rows.sort_values("frame_num")
+        pixels = int(rows["pixels"].iloc[0])
+        path = per_frame_figure(
+            list(rows["psnr"]), list(rows["size"]), pixels,
+            os.path.join(cfg.output_dir, f"{seq}_l{level}_frames.png"),
+            title=f"{seq} level {level}",
+        )
+        print(f"wrote {path}")
 
 
 def _run_levels(cfg, intra_pack, inter_pack, info):

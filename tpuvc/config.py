@@ -80,6 +80,9 @@ class TestConfig:
     #: adaptive search (each compiles one flow graph; the full OJSP grid
     #: is 1..8.75 step 0.25), and an optional per-frame diagnostics CSV
     #: (ratio/warp-PSNR/bpp split, OJSP2025/video_model.py:565-609).
+    #: write RD-curve + per-frame PSNR/bpp figures next to the results CSV
+    #: (LHBDC/test/testing.py:202-307, ICIP2024/src/testing.py:47-65).
+    write_plots: bool = False
     dmc_intra_period: int = 32
     dmc_ratios: tuple = (1.0, 1.5, 2.0, 3.0, 4.0)
     dmc_diag_csv: str = ""
