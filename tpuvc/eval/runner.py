@@ -58,6 +58,11 @@ def eval_sequence(
     size_list = [0.0] * n
     dpb = DecodedPictureBuffer(capacity=dpb_capacity)
 
+    # Per-frame metrics are dispatched immediately but fetched once at the
+    # end: the decode chain threads through the DPB on device, so the only
+    # host syncs in the whole sequence are the final stacked transfers
+    # (each relay round trip costs ~30 ms on axon).
+    pending: list = []
     for order in order_list:
         frame = frames[order]
         if typ_list[order] == "I":
@@ -66,22 +71,31 @@ def eval_sequence(
             ref1, ref2, order1, order2 = dpb.select_references(order)
             dec, size = inter_fn(ref1, ref2, frame, order, order1, order2)
 
-        p = float(psnr_uint8(frame[:, :h, :w], dec[:, :h, :w]))
-        psnr_list[order] = p
-        size_list[order] = float(size)
-        extra = {}
+        p_dev = psnr_uint8(frame[:, :h, :w], dec[:, :h, :w])
+        ms_dev = None
         if compute_msssim:
             from tpuvc.eval.metrics import msssim
 
-            extra["msssim"] = float(
-                msssim(frame[:, :h, :w], jnp.clip(dec[:, :h, :w], 0, 1))
-            )
+            ms_dev = msssim(frame[:, :h, :w], jnp.clip(dec[:, :h, :w], 0, 1))
+        pending.append((order, p_dev, size, ms_dev))
+        dpb.add(jnp.clip(dec, 0.0, 1.0), order)
+
+    ps = np.asarray(jnp.stack([p for _, p, _, _ in pending]))
+    szs = np.asarray(jnp.stack([jnp.asarray(s) for _, _, s, _ in pending]))
+    mss = (
+        np.asarray(jnp.stack([m for _, _, _, m in pending]))
+        if compute_msssim
+        else None
+    )
+    for k, (order, _, _, _) in enumerate(pending):
+        psnr_list[order] = float(ps[k])
+        size_list[order] = float(szs[k])
+        extra = {"msssim": float(mss[k])} if mss is not None else {}
         if info is not None:
             info.update(
-                video, level, order, typ_list[order], p, float(size), h * w,
-                **extra,
+                video, level, order, typ_list[order], psnr_list[order],
+                size_list[order], h * w, **extra,
             )
-        dpb.add(jnp.clip(dec, 0.0, 1.0), order)
 
     return psnr_list, size_list
 
@@ -117,9 +131,11 @@ def eval_sequence_lowdelay(
     Returns (psnr_list, size_list) in display order.
     """
     h, w = crop_hw
-    psnr_list: list[float] = []
-    size_list: list[float] = []
     dpb = None
+    # Dispatch per frame, fetch once at the end (see eval_sequence); the
+    # adaptive ratio search is the only data-dependent host decision in
+    # the loop.
+    pending: list = []
     for i in range(n_frames):
         frame = frames[i]
         extras: dict = {}
@@ -137,17 +153,30 @@ def eval_sequence_lowdelay(
             )
             dec, size, dpb, extras = pframe_fn(frame, dpb, ratio)
             typ = "P"
-        p = float(psnr_uint8(frame[:, :h, :w], dec[:, :h, :w]))
-        size = float(size)
-        psnr_list.append(p)
-        size_list.append(size)
-        extra = {}
+        p_dev = psnr_uint8(frame[:, :h, :w], dec[:, :h, :w])
+        ms_dev = None
         if compute_msssim:
             from tpuvc.eval.metrics import msssim
 
-            extra["msssim"] = float(
-                msssim(frame[:, :h, :w], jnp.clip(dec[:, :h, :w], 0, 1))
-            )
+            ms_dev = msssim(frame[:, :h, :w], jnp.clip(dec[:, :h, :w], 0, 1))
+        pending.append((typ, ratio, p_dev, size, ms_dev, extras))
+
+    ps = np.asarray(jnp.stack([p for _, _, p, _, _, _ in pending]))
+    szs = np.asarray(
+        jnp.stack([jnp.asarray(s) for _, _, _, s, _, _ in pending])
+    )
+    mss = (
+        np.asarray(jnp.stack([m for _, _, _, _, m, _ in pending]))
+        if compute_msssim
+        else None
+    )
+    psnr_list: list[float] = []
+    size_list: list[float] = []
+    for i, (typ, ratio, _, _, _, extras) in enumerate(pending):
+        p, size = float(ps[i]), float(szs[i])
+        psnr_list.append(p)
+        size_list.append(size)
+        extra = {"msssim": float(mss[i])} if mss is not None else {}
         if info is not None:
             info.update(video, level, i, typ, p, size, h * w, **extra)
         if diagnostics is not None:
@@ -215,20 +244,39 @@ def eval_sequence_batched(
     psnr_list: list[float] = [0.0] * n_use
     size_list: list[float] = [0.0] * n_use
 
+    # Metrics are DISPATCHED per frame but FETCHED once per sequence: a
+    # host round trip costs ~30 ms on the axon relay, and two per frame
+    # would eat ~10% of the 1080p budget. Only device scalars are kept
+    # alive between dispatch and the final fetch.
+    pending: list = []
+
     def record(idx, typ, dec, size):
         frame = frames[idx]
-        p = float(psnr_uint8(frame[:, :h, :w], dec[:, :h, :w]))
-        psnr_list[idx] = p
-        size_list[idx] = float(size)
-        extra = {}
+        p_dev = psnr_uint8(frame[:, :h, :w], dec[:, :h, :w])
+        ms_dev = None
         if compute_msssim:
             from tpuvc.eval.metrics import msssim
 
-            extra["msssim"] = float(
-                msssim(frame[:, :h, :w], jnp.clip(dec[:, :h, :w], 0, 1))
-            )
-        if info is not None:
-            info.update(video, level, idx, typ, p, float(size), h * w, **extra)
+            ms_dev = msssim(frame[:, :h, :w], jnp.clip(dec[:, :h, :w], 0, 1))
+        pending.append((idx, typ, p_dev, size, ms_dev))
+
+    def materialize():
+        if not pending:
+            return
+        ps = np.asarray(jnp.stack([p for _, _, p, _, _ in pending]))
+        mss = (
+            np.asarray(jnp.stack([m for _, _, _, _, m in pending]))
+            if compute_msssim
+            else None
+        )
+        for k, (idx, typ, _, size, _) in enumerate(pending):
+            p = float(ps[k])
+            size = float(size)  # device scalar only for I frames (few)
+            psnr_list[idx] = p
+            size_list[idx] = size
+            extra = {"msssim": float(mss[k])} if mss is not None else {}
+            if info is not None:
+                info.update(video, level, idx, typ, p, size, h * w, **extra)
 
     class _Window:
         """GOP-local view: window[i] = frames[start + i]."""
@@ -270,4 +318,5 @@ def eval_sequence_batched(
                 record(f, "B", decoded[f], bits)
         prev_anchor = anchors[starts[-1] + gop]
 
+    materialize()
     return psnr_list, size_list
