@@ -145,6 +145,7 @@ def main(argv=None):
 
     seq = PSequenceBitstream(width=w, height=h)
     dpb = None
+    entries: list = []  # (type, blob | Future[PFrameBitstream])
     t0 = time.perf_counter()
     for i in range(len(frames)):
         x, _ = pad_to_multiple(jnp.asarray(frames[i]), 64)
@@ -154,7 +155,7 @@ def main(argv=None):
             blob = IFrameBitstream.from_compress(out).serialize()
             dpb = {"ref_frame": dec, "ref_feature": None,
                    "ref_down_ratio": 1.0}
-            seq.frames.append(("I", blob))
+            entries.append(("I", blob))
             ratio = 1.0
         else:
             if args.adaptive:
@@ -164,12 +165,19 @@ def main(argv=None):
                 )
             else:
                 ratio = args.ratio
-            bits, dpb = p_coder.encode(x, dpb, ratio=ratio, q=args.q)
-            seq.frames.append(("P", bits.serialize()))
-        nbytes = len(seq.frames[-1][1])
+            # Async split: the DPB comes back immediately (device chain);
+            # host rANS packs the stream on a worker thread, overlapping
+            # the next frame's transforms.
+            fut, dpb = p_coder.encode_async(x, dpb, ratio=ratio, q=args.q)
+            entries.append(("P", fut))
+        print(f"frame {i:4d} {entries[-1][0]} ratio {ratio}")
+    for typ, item in entries:
+        blob = item if isinstance(item, bytes) else item.result().serialize()
+        seq.frames.append((typ, blob))
+    for i, (typ, blob) in enumerate(seq.frames):
         print(
-            f"frame {i:4d} {seq.frames[-1][0]} ratio {ratio:<5} "
-            f"{nbytes} bytes ({8 * nbytes / (h * w):.4f} bpp)"
+            f"frame {i:4d} {typ} {len(blob)} bytes "
+            f"({8 * len(blob) / (h * w):.4f} bpp)"
         )
     blob = seq.serialize()
     with open(args.bin, "wb") as f:

@@ -73,7 +73,8 @@ class TestConfig:
     #: hierarchy level across the window's GOPs is batched in one forward,
     #: so narrow levels also fill the MXU (scheduler.code_gops_batched).
     #: Bounded by HBM: each window keeps window_gops*gop+1 decoded frames
-    #: on device (~25 MB each at 1080p).
+    #: on device (~25 MB each at 1080p); at GOP-16 1080p on a 16 GB chip,
+    #: 2 is the sweet spot (+12% measured; 4 exhausts HBM).
     window_gops: int = 1
     #: DMC (model.family=dmc) low-delay eval: I-frame period (the OJSP
     #: harness codes I every 32), candidate fractional down ratios for the

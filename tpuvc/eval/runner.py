@@ -250,8 +250,10 @@ def eval_sequence_batched(
     # alive between dispatch and the final fetch.
     pending: list = []
 
-    def record(idx, typ, dec, size):
-        frame = frames[idx]
+    def record(idx, typ, dec, size, src=None):
+        # src: already-uploaded device slice from the scheduler — avoids a
+        # second host->device copy of the source frame just for PSNR.
+        frame = src if src is not None else frames[idx]
         p_dev = psnr_uint8(frame[:, :h, :w], dec[:, :h, :w])
         ms_dev = None
         if compute_msssim:
@@ -301,21 +303,22 @@ def eval_sequence_batched(
             anchors[b] = dec
             record(b, "I", dec, s)
 
+        srcs: dict = {}
         if len(starts) == 1:
             g = starts[0]
             decoded, sizes = code_gop_batched(
                 _Window(g), {0: anchors[g], gop: anchors[g + gop]},
-                table, inter_fn_batched, max_batch=max_batch,
+                table, inter_fn_batched, max_batch=max_batch, sources=srcs,
             )
             for f, bits in sizes.items():
-                record(g + f, "B", decoded[f], bits)
+                record(g + f, "B", decoded[f], bits, src=srcs.get(f))
         else:
             decoded, sizes = code_gops_batched(
                 frames, anchors, table, inter_fn_batched, starts,
-                max_batch=max_batch,
+                max_batch=max_batch, sources=srcs,
             )
             for f, bits in sizes.items():
-                record(f, "B", decoded[f], bits)
+                record(f, "B", decoded[f], bits, src=srcs.get(f))
         prev_anchor = anchors[starts[-1] + gop]
 
     materialize()

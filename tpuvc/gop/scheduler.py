@@ -29,6 +29,7 @@ def code_gops_batched(
     inter_fn_batched: Callable,
     gop_starts: list[int],
     max_batch: int | None = None,
+    sources: dict | None = None,
 ):
     """Code several GOPs with CROSS-GOP level batching.
 
@@ -48,6 +49,9 @@ def code_gops_batched(
         which is well-defined across GOPs because a hierarchy level has
         the same local geometry in every GOP.
       gop_starts: absolute start index of each GOP in the window.
+      sources: optional dict the coder fills with {absolute frame_idx:
+        device source slice} — callers computing PSNR can reuse the
+        already-uploaded frames instead of a second host->device copy.
 
     Returns ({absolute frame_idx: decoded}, {absolute frame_idx: bits}).
     """
@@ -84,6 +88,8 @@ def code_gops_batched(
             x_hat = jnp.clip(x_hat, 0.0, 1.0)
             for i, (g0, f) in enumerate(chunk):
                 decoded[g0 + f] = x_hat[i : i + 1]
+                if sources is not None:
+                    sources[g0 + f] = xcur[i : i + 1]
             pending.append((chunk, level_sizes))
     # One host fetch for the whole window: intermediate syncs would stall
     # the device between chunks (a relay round trip costs ~30 ms on axon);
@@ -101,6 +107,7 @@ def code_gop_batched(
     table: GopTable,
     inter_fn_batched: Callable,
     max_batch: int | None = None,
+    sources: dict | None = None,
 ):
     """Code one GOP with level-batched B-frame forwards.
 
@@ -139,6 +146,8 @@ def code_gop_batched(
             x_hat = jnp.clip(x_hat, 0.0, 1.0)
             for i, f in enumerate(chunk):
                 decoded[f] = x_hat[i : i + 1]
+                if sources is not None:
+                    sources[f] = xcur[i : i + 1]
             pending.append((chunk, level_sizes))
     # Deferred single-sync size fetch (see code_gops_batched).
     for chunk, level_sizes in pending:

@@ -345,6 +345,13 @@ class PFrameDMCCoder:
             )
         m = model
         self._mv_analysis = {}
+        self._enc_graphs: dict = {}
+        from concurrent.futures import ThreadPoolExecutor
+
+        # One worker: streams must finish in submission order anyway, and
+        # the point is overlapping host rANS with the NEXT frame's device
+        # work, not parallel host coding.
+        self._pool = ThreadPoolExecutor(max_workers=1)
         self._mv_params = jax.jit(
             lambda v, z_hat: m.apply(v, z_hat, method=PFrameDMC.mv_params)
         )
@@ -432,48 +439,112 @@ class PFrameDMCCoder:
         ).reshape(y_idx.shape)
         return jnp.asarray(y_sym, jnp.float32) + means
 
-    def encode(self, x, dpb: dict, ratio: float = 1.0, q: float = 0.0):
-        """Code one P-frame; returns (PFrameBitstream, new_dpb)."""
+    def _enc_graph(self, ratio: float):
+        """One fused jit for the whole encode-side device chain: symbols
+        are quantized ON DEVICE (bit-identical to what the decoder rebuilds
+        from the streams), so the reconstruction/DPB never waits on host
+        rANS — the host only converts symbols to bytes afterwards."""
+        if ratio in self._enc_graphs:
+            return self._enc_graphs[ratio]
+        m = self.model
+        med_mv = jnp.asarray(self.tables["mv_coder"].medians)
+        med_z = jnp.asarray(self.tables["y_coder"].medians)
+
+        @jax.jit
+        def run(v, x, dpb, q):
+            ref = dpb["ref_frame"]
+            mv_y, mv_z = m.apply(
+                v, x, ref, ratio, q, method=PFrameDMC.mv_analysis
+            )
+            mv_z_sym = quantize(mv_z, "symbols", means=med_mv)
+            mv_z_hat = mv_z_sym.astype(jnp.float32) + med_mv
+            mv_scales, mv_means = m.apply(
+                v, mv_z_hat, method=PFrameDMC.mv_params
+            )
+            mv_y_sym = quantize(mv_y, "symbols", means=mv_means)
+            mv_y_hat = mv_y_sym.astype(jnp.float32) + mv_means
+            mv_hat = m.apply(
+                v, mv_y_hat, ratio, q, method=PFrameDMC.mv_synthesis
+            )
+            context, _ = m.apply(
+                v, ref, dpb.get("ref_feature"), mv_hat,
+                method=PFrameDMC.motion_compensate,
+            )
+            y, z = m.apply(v, x, context, q, method=PFrameDMC.frame_analysis)
+            z_sym = quantize(z, "symbols", means=med_z)
+            z_hat = z_sym.astype(jnp.float32) + med_z
+            scales, means = m.apply(v, z_hat, method=PFrameDMC.frame_params)
+            y_sym = quantize(y, "symbols", means=means)
+            y_hat = y_sym.astype(jnp.float32) + means
+            x_hat, feature = m.apply(
+                v, y_hat, context, q, method=PFrameDMC.frame_synthesis
+            )
+            return {
+                "mv_z_sym": mv_z_sym,
+                "mv_y_sym": mv_y_sym,
+                "mv_y_idx": self.gaussian.build_indexes(mv_scales),
+                "z_sym": z_sym,
+                "y_sym": y_sym,
+                "y_idx": self.gaussian.build_indexes(scales),
+                "x_hat": jnp.clip(x_hat, 0.0, 1.0),
+                "feature": feature,
+            }
+
+        self._enc_graphs[ratio] = run
+        return run
+
+    def _pack_streams(self, out, ratio, q, z_shape):
+        """Host side of encode: fetch symbols/indexes, rANS to bytes."""
+        import numpy as np
+
+        from tpuvc.coder import encode_with_indexes
         from tpuvc.coder.container import PFrameBitstream
 
-        m = self.model
-        if ratio not in self._mv_analysis:
-            self._mv_analysis[ratio] = jax.jit(
-                lambda v, x, ref, q, r=ratio: m.apply(
-                    v, x, ref, r, q, method=PFrameDMC.mv_analysis
+        streams = []
+        for sym_key, idx_key, tables in (
+            ("mv_y_sym", "mv_y_idx", self.y_tables),
+            ("mv_z_sym", None, self.tables["mv_coder"]),
+            ("y_sym", "y_idx", self.y_tables),
+            ("z_sym", None, self.tables["y_coder"]),
+        ):
+            sym = np.asarray(out[sym_key])
+            if idx_key is None:
+                idx = np.broadcast_to(
+                    np.arange(sym.shape[-1], dtype=np.int32), sym.shape
+                )
+            else:
+                idx = np.asarray(out[idx_key])
+            streams.append(
+                encode_with_indexes(
+                    sym, idx, tables.cdfs, tables.cdf_lengths, tables.offsets
                 )
             )
-        ref_frame = dpb["ref_frame"]
-        mv_y, mv_z = self._mv_analysis[ratio](
-            self.variables, x, ref_frame, q
-        )
-        mv_z_str, mv_z_hat = self._code_z("mv_coder", mv_z)
-        scales, means = self._mv_params(self.variables, mv_z_hat)
-        mv_y_str, mv_y_hat = self._code_y(mv_y, scales, means)
-        mv_hat = self._mv_synthesis(self.variables, mv_y_hat, ratio, q)
-
-        context, _ = self._compensate(
-            self.variables, ref_frame, dpb.get("ref_feature"), mv_hat
-        )
-        y, z = self._frame_analysis(self.variables, x, context, q)
-        z_str, z_hat = self._code_z("y_coder", z)
-        scales, means = self._frame_params(self.variables, z_hat)
-        y_str, y_hat = self._code_y(y, scales, means)
-        x_hat, feature = self._frame_synthesis(
-            self.variables, y_hat, context, q
-        )
-        bits = PFrameBitstream(
+        return PFrameBitstream(
             q_milli=int(round(q * 1000)),
             ratio_centi=int(round(ratio * 100)),
-            z_shape=tuple(int(v) for v in mv_z.shape[1:3]),
-            streams=[mv_y_str, mv_z_str, y_str, z_str],
+            z_shape=z_shape,
+            streams=streams,
         )
+
+    def encode_async(self, x, dpb: dict, ratio: float = 1.0, q: float = 0.0):
+        """Dispatch the device chain and return (bits_future, new_dpb)
+        immediately: the DPB feeds the next frame without waiting for the
+        host rANS, which runs on a worker thread and overlaps the next
+        frame's device transforms (SURVEY.md 7.2 step 9)."""
+        out = self._enc_graph(ratio)(self.variables, x, dpb, q)
         new_dpb = {
-            "ref_frame": jnp.clip(x_hat, 0.0, 1.0),
-            "ref_feature": feature,
+            "ref_frame": out["x_hat"],
+            "ref_feature": out["feature"],
             "ref_down_ratio": ratio,
         }
-        return bits, new_dpb
+        z_shape = tuple(int(v) for v in out["mv_z_sym"].shape[1:3])
+        fut = self._pool.submit(self._pack_streams, out, ratio, q, z_shape)
+        return fut, new_dpb
+
+    def encode(self, x, dpb: dict, ratio: float = 1.0, q: float = 0.0):
+        """Code one P-frame; returns (PFrameBitstream, new_dpb)."""
+        fut, new_dpb = self.encode_async(x, dpb, ratio, q)
+        return fut.result(), new_dpb
 
     def decode(self, dpb: dict, bits):
         """Decode one P-frame from the stream; returns (x_hat, new_dpb)."""
