@@ -9,7 +9,10 @@ pass per B-frame (flows + MV codec + compensation + residual codec + bit
 accounting), scheduled level-by-level so independent frames within a
 hierarchy level share one batched forward (tpuvc.gop.scheduler). The
 reference's hot loop codes the same 15 B-frames strictly sequentially
-(/root/reference/LHBDC/test/testing.py:167).
+(/root/reference/LHBDC/test/testing.py:167). A 2-GOP window additionally
+batches the same hierarchy level across GOPs (cross-GOP level batching,
+tpuvc.gop.scheduler.code_gops_batched) — the narrow levels of the dyadic
+schedule then also fill the MXU.
 
 vs_baseline is against the reference PyTorch-CPU throughput target from
 BASELINE.json (>10x per chip). The reference authors quote ~1s/frame on
@@ -43,7 +46,7 @@ def main():
     import numpy as np
 
     from tpuvc.gop.order import gop_coding_table
-    from tpuvc.gop.scheduler import code_gop_batched
+    from tpuvc.gop.scheduler import code_gops_batched
     from tpuvc.models.lhbdc import LHBDC
     from tpuvc.ops.precision import mixed_precision
 
@@ -72,27 +75,36 @@ def main():
         return forward(variables, r1, r2, xcur)
 
     table = gop_coding_table(16)
-    anchors = {0: frames[0], 16: frames[16]}
     # max_batch=8: full level batching (1, 2, 4, 8). The batch-4/8 1080p
     # graphs take ~13 min of one-time remote compile (then persistent-cache
     # hits); they run 19% faster end-to-end than the chunked batch-2
-    # schedule (4.03 vs 3.37 B-frames/s).
+    # schedule (4.03 vs 3.37 B-frames/s). Cross-GOP window batching (G=2)
+    # additionally runs the same hierarchy level of both GOPs in one
+    # forward, lifting the narrow levels to batch 2/4/8/8: measured
+    # 4.42 vs 3.95 B-frames/s against the per-GOP schedule (+12%).
     max_batch = 8
+    G = 2
+    # 33-frame window aliasing the 17 device-resident uniques.
+    frames_w = [frames[i if i < 17 else i - 16] for i in range(G * 16 + 1)]
+    anchors = {g: frames_w[g] for g in range(0, G * 16 + 1, 16)}
+    starts = list(range(0, G * 16, 16))
 
     # warm: compiles every level's batch shape
-    code_gop_batched(frames, anchors, table, inter_fn, max_batch=max_batch)
+    code_gops_batched(
+        frames_w, anchors, table, inter_fn, starts, max_batch=max_batch
+    )
 
-    gops = 3
+    windows = 2
     t0 = time.perf_counter()
     total_bits = 0.0
-    for _ in range(gops):
-        decoded, sizes = code_gop_batched(
-            frames, anchors, table, inter_fn, max_batch=max_batch
+    for _ in range(windows):
+        decoded, sizes = code_gops_batched(
+            frames_w, anchors, table, inter_fn, starts, max_batch=max_batch
         )
         total_bits += sum(sizes.values())
     dt = time.perf_counter() - t0
     assert total_bits > 0
-    fps = gops * 15 / dt  # 15 B-frames per GOP-16
+    fps = windows * G * 15 / dt  # 15 B-frames per GOP-16
 
     print(
         json.dumps(
