@@ -89,3 +89,25 @@ class TestEncodeRecon:
         parsed = BFrameBitstream.deserialize(bits.serialize())
         x_hat = c.decode(xb, xa, parsed)
         np.testing.assert_array_equal(np.asarray(recon), np.asarray(x_hat))
+
+
+class TestLevelBatchCoding:
+    """Batched real coding: decode_level_batch must reproduce
+    encode_level_batch's reconstructions bit-for-bit (same B-shaped
+    graphs on both sides)."""
+
+    def test_batch2_round_trip(self, coder, rng):
+        model, variables, c = coder
+        base = rng.random((2, 192, 192, 3), dtype=np.float32)
+        drift = 0.03 * rng.standard_normal((2, 192, 192, 3)).astype(np.float32)
+        xb = jnp.asarray(base)
+        xc = jnp.clip(jnp.asarray(base + 0.5 * drift), 0, 1)
+        xa = jnp.clip(jnp.asarray(base + drift), 0, 1)
+
+        bits, recon = c.encode_level_batch(xb, xc, xa, rate_id=845)
+        assert len(bits) == 2
+        parsed = [BFrameBitstream.deserialize(b.serialize()) for b in bits]
+        x_hat = c.decode_level_batch(xb, xa, parsed)
+        np.testing.assert_array_equal(np.asarray(recon), np.asarray(x_hat))
+        # Streams are per-frame: each must also differ (different content).
+        assert bits[0].res_y != bits[1].res_y

@@ -22,7 +22,8 @@ class TestContainer:
     def test_round_trip(self):
         seq = VSequenceBitstream(
             family="deform_b", width=192, height=128, gop=8, n_frames=3,
-            frames=[("I", b"intra"), ("B", b"b-bytes"), ("I", b"")],
+            frames=[("I", 0, b"intra"), ("B", 1, b"b-bytes"), ("I", 2, b"")],
+            mode=1, max_batch=4,
         )
         blob = seq.serialize()
         assert len(blob) == seq.num_bytes
@@ -65,7 +66,8 @@ def test_encode_decode_cli_round_trip(tmp_path):
         seq = VSequenceBitstream.deserialize(f.read())
     assert seq.family == "lhbdc"
     assert (seq.width, seq.height, seq.gop, seq.n_frames) == (64, 64, 4, 9)
-    assert sum(1 for t, _ in seq.frames if t == "I") == 3
+    assert sum(1 for t, _, _ in seq.frames if t == "I") == 3
+    assert sorted(i for _, i, _ in seq.frames) == list(range(9))
 
     model_args = SMALL[SMALL.index("--init"):]
     decode_main(model_args + ["--bin", bin_path, "--out_dir", out_dir,
@@ -77,4 +79,31 @@ def test_encode_decode_cli_round_trip(tmp_path):
 
     img = load_png(os.path.join(out_dir, "frame_00000.png"))
     assert img.shape == (64, 64, 3)
+    assert np.isfinite(img.astype(np.float32)).all()
+
+
+def test_level_batched_round_trip(tmp_path):
+    """mode=1 streams: batched encode, batched decode with the same chunk
+    shapes, reconstructions valid for every frame."""
+    from tpuvc.cli.decode_v import main as decode_main
+    from tpuvc.cli.encode_v import main as encode_main
+
+    bin_path = str(tmp_path / "seq_lb.tpvb")
+    out_dir = str(tmp_path / "dec_lb")
+    encode_main(SMALL + ["--family", "lhbdc", "--bin", bin_path,
+                         "--level_batched", "--max_batch", "2"])
+    with open(bin_path, "rb") as f:
+        seq = VSequenceBitstream.deserialize(f.read())
+    assert seq.mode == 1 and seq.max_batch == 2
+    assert sorted(i for _, i, _ in seq.frames) == list(range(9))
+
+    model_args = SMALL[SMALL.index("--init"):]
+    decode_main(model_args + ["--bin", bin_path, "--out_dir", out_dir,
+                              "--synthetic", "9"])
+    decoded = sorted(os.listdir(out_dir))
+    assert decoded == [f"frame_{i:05d}.png" for i in range(9)]
+
+    from tpuvc.data.frames import load_png
+
+    img = load_png(os.path.join(out_dir, "frame_00004.png"))
     assert np.isfinite(img.astype(np.float32)).all()

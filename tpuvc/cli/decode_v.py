@@ -3,14 +3,16 @@
     python -m tpuvc.cli.decode_v --bin out.tpvb --out_dir /tmp/dec \
         [--frames /data/UVG/beauty]   # originals -> per-frame PSNR
 
-Counterpart of tpuvc.cli.encode_v. The header's (family, gop, n_frames)
-triple re-derives the coding schedule (tpuvc.gop.order.sequence_schedule)
-and the decoded-picture-buffer walk re-derives every frame's reference
-pair, so the file is self-contained given the model weights. I-frames
-decode via the ELIC coder, B-frames via the family coder — the same
-decode path the encoder used to build its buffer, so reconstructions are
-bit-identical to the encoder's (the reference's decode_B PSNR check,
-Flex-Rate…/test/decode_B.py:138-144, generalized to sequences).
+Counterpart of tpuvc.cli.encode_v. Frames carry their display index, so
+the decoder replays the file's coding order and the decoded-picture-buffer
+walk re-derives every frame's reference pair — the file is self-contained
+given the model weights. I-frames decode via the ELIC coder, B-frames via
+the family coder — the same decode path the encoder used to build its
+buffer, so reconstructions are bit-identical to the encoder's (the
+reference's decode_B PSNR check, Flex-Rate…/test/decode_B.py:138-144,
+generalized to sequences). Streams with header mode=1 were coded with
+level-batched device graphs and decode through the same batch shapes
+(see VSequenceBitstream docstring for why shapes must match).
 """
 
 from __future__ import annotations
@@ -43,6 +45,84 @@ def build_parser():
     return p
 
 
+def _decode_level_batched(args, seq, coder, intra_coder, originals):
+    """Decode a mode=1 (level-batched) stream: regroup the file's B
+    records into the encoder's exact chunks (consecutive same-level frames
+    of one GOP, capped at the header's max_batch) and run the same
+    B-shaped device graphs — shape parity is what keeps the decoder's
+    re-estimated flow, and with it the rANS decode, bit-identical."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpuvc.coder.container import BFrameBitstream, IFrameBitstream
+    from tpuvc.data.frames import save_png
+    from tpuvc.eval.metrics import psnr_uint8
+    from tpuvc.gop.order import gop_coding_table
+
+    h, w, n = seq.height, seq.width, seq.n_frames
+    gop = seq.gop
+    table = gop_coding_table(gop)
+    level_of = {
+        f: li for li, lv in enumerate(table.frames_by_level()) for f in lv
+    }
+    decoded: dict[int, jnp.ndarray] = {}
+    t0 = time.perf_counter()
+
+    def flush(chunk):
+        if not chunk:
+            return
+        g0 = (chunk[0][0] // gop) * gop
+        locs = [idx - g0 for idx, _ in chunk]
+        refs = [table.refs[f] for f in locs]
+        xb = jnp.concatenate([decoded[g0 + a] for a, _ in refs], axis=0)
+        xa = jnp.concatenate([decoded[g0 + b] for _, b in refs], axis=0)
+        bits = [BFrameBitstream.deserialize(blob) for _, blob in chunk]
+        x_hat = jnp.clip(
+            coder.decode_level_batch(xb, xa, bits), 0.0, 1.0
+        )
+        for i, (idx, _) in enumerate(chunk):
+            decoded[idx] = x_hat[i : i + 1]
+
+    chunk: list = []
+    for ftyp, idx, blob in seq.frames:
+        if ftyp == "I":
+            flush(chunk)
+            chunk = []
+            bits = IFrameBitstream.deserialize(blob)
+            dec = intra_coder.decompress(bits.to_strings(), bits.z_shape)
+            decoded[idx] = jnp.clip(dec, 0.0, 1.0)
+            continue
+        same_chunk = (
+            chunk
+            and len(chunk) < (seq.max_batch or 8)
+            and (idx // gop) == (chunk[0][0] // gop)
+            and level_of[idx - (idx // gop) * gop]
+            == level_of[chunk[0][0] - (chunk[0][0] // gop) * gop]
+        )
+        if not same_chunk:
+            flush(chunk)
+            chunk = []
+        chunk.append((idx, blob))
+    flush(chunk)
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    psnrs = []
+    for i in range(n):
+        img = np.asarray(decoded[i][0, :h, :w])
+        img_u8 = np.clip(np.rint(img * 255.0), 0, 255).astype(np.uint8)
+        save_png(os.path.join(args.out_dir, f"frame_{i:05d}.png"), img_u8)
+        if originals is not None:
+            ref = np.asarray(jnp.asarray(originals[i]))[0, :h, :w]
+            psnrs.append(float(psnr_uint8(jnp.asarray(ref), jnp.asarray(img))))
+    msg = (
+        f"decoded {n} frames (level-batched) to {args.out_dir} "
+        f"in {time.perf_counter() - t0:.1f}s"
+    )
+    if psnrs:
+        msg += f"; mean psnr {sum(psnrs) / len(psnrs):.2f} dB"
+    print(msg)
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
@@ -64,7 +144,6 @@ def main(argv=None):
     from tpuvc.data.frames import save_png
     from tpuvc.eval.metrics import psnr_uint8
     from tpuvc.gop.dpb import DecodedPictureBuffer
-    from tpuvc.gop.order import sequence_schedule
 
     with open(args.bin, "rb") as f:
         seq = VSequenceBitstream.deserialize(f.read())
@@ -87,13 +166,12 @@ def main(argv=None):
         args.width, args.height = w, h  # match the stream header
         originals = load_frames(args)
 
-    order, typ = sequence_schedule(seq.gop, n)
-    assert len(order) == len(seq.frames), "schedule/stream length mismatch"
+    if seq.mode == 1:
+        return _decode_level_batched(args, seq, coder, intra_coder, originals)
     dpb = DecodedPictureBuffer()
     decoded: dict[int, jnp.ndarray] = {}
     t0 = time.perf_counter()
-    for idx, (ftyp, blob) in zip(order, seq.frames):
-        assert ftyp == typ[idx], f"frame {idx}: stream says {ftyp}"
+    for ftyp, idx, blob in seq.frames:
         if ftyp == "I":
             bits = IFrameBitstream.deserialize(blob)
             dec = intra_coder.decompress(bits.to_strings(), bits.z_shape)

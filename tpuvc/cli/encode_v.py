@@ -58,6 +58,13 @@ def build_parser():
                    help="v4 per-frame down-ratio search (argmax warp-PSNR "
                         "over {1,2,4,8,16}, ICIP2024/src/opt_helpers.py:41-51)"
                    )
+    p.add_argument("--level_batched", action="store_true",
+                   help="code frames of the same hierarchy level in one "
+                        "batched device forward (lhbdc only; the stream "
+                        "records the mode — decode_v replays the same "
+                        "batch shapes)")
+    p.add_argument("--max_batch", type=int, default=8,
+                   help="per-forward batch cap for --level_batched")
     p.add_argument("--weights", default="pretrained_weights")
     p.add_argument("--weights_intra", default="elic.msgpack")
     p.add_argument("--init", choices=["load", "random"], default="load")
@@ -143,6 +150,79 @@ def code_b_frame(coder, family, args, ref1, ref2, xcur, idx, o1, o2,
     )
 
 
+def _encode_level_batched(args, frames, coder, intra_coder):
+    """Real-bitstream level-batched encoding (lhbdc): frames of one
+    hierarchy level share every device forward (the eval scheduler's
+    batching, applied to actual coding). The decoder replays identical
+    batch shapes (VSequenceBitstream mode=1), which is what keeps the
+    entropy decode in sync — see the container docstring."""
+    import jax.numpy as jnp
+
+    from tpuvc.coder.container import IFrameBitstream, VSequenceBitstream
+    from tpuvc.gop.order import gop_coding_table
+    from tpuvc.ops.pad import pad_to_multiple
+
+    h, w = frames.size
+    n = len(frames)
+    gop = args.gop
+    if (n - 1) % gop != 0:
+        raise SystemExit(
+            f"--level_batched needs k*{gop}+1 frames, got {n}; "
+            "drop the tail or use the sequential mode"
+        )
+    table = gop_coding_table(gop)
+    records: list = []
+    anchors: dict = {}
+    t0 = time.perf_counter()
+
+    def intra(idx):
+        x, _ = pad_to_multiple(jnp.asarray(frames[idx]), 64)
+        out = intra_coder.compress(x)
+        dec = jnp.clip(intra_coder.synthesize(out["y_hat"]), 0.0, 1.0)
+        anchors[idx] = dec
+        records.append(("I", idx, IFrameBitstream.from_compress(out).serialize()))
+
+    for g0 in range(0, n - 1, gop):
+        for b in (g0, g0 + gop):
+            if b not in anchors:
+                intra(b)
+        decoded = {0: anchors[g0], gop: anchors[g0 + gop]}
+        for level_frames in table.frames_by_level():
+            for c0 in range(0, len(level_frames), args.max_batch):
+                chunk = level_frames[c0 : c0 + args.max_batch]
+                refs = [table.refs[f] for f in chunk]
+                xb = jnp.concatenate([decoded[a] for a, _ in refs], axis=0)
+                xa = jnp.concatenate([decoded[b] for _, b in refs], axis=0)
+                xc = jnp.concatenate(
+                    [
+                        pad_to_multiple(jnp.asarray(frames[g0 + f]), 64)[0]
+                        for f in chunk
+                    ],
+                    axis=0,
+                )
+                bits, x_hat = coder.encode_level_batch(
+                    xb, xc, xa, rate_id=args.l
+                )
+                x_hat = jnp.clip(x_hat, 0.0, 1.0)
+                for i, f in enumerate(chunk):
+                    decoded[f] = x_hat[i : i + 1]
+                    records.append(("B", g0 + f, bits[i].serialize()))
+        print(f"GOP {g0}..{g0 + gop} coded")
+
+    seq = VSequenceBitstream(
+        family=args.family, width=w, height=h, gop=gop, n_frames=n,
+        frames=records, mode=1, max_batch=args.max_batch,
+    )
+    blob = seq.serialize()
+    with open(args.bin, "wb") as f:
+        f.write(blob)
+    print(
+        f"wrote {len(blob)} bytes ({n} frames, "
+        f"{8 * len(blob) / (h * w * n):.4f} bpp, level-batched) to "
+        f"{args.bin} in {time.perf_counter() - t0:.1f}s"
+    )
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
@@ -165,6 +245,11 @@ def main(argv=None):
     model, variables = load_model(args)
     coder = make_coder(args, model, variables)
     intra_coder = build_intra(args)
+
+    if args.level_batched:
+        if args.family != "lhbdc":
+            raise SystemExit("--level_batched currently supports lhbdc only")
+        return _encode_level_batched(args, frames, coder, intra_coder)
 
     order, typ = sequence_schedule(args.gop, n)
     dpb = DecodedPictureBuffer()
@@ -199,7 +284,7 @@ def main(argv=None):
         )
     seq = VSequenceBitstream(
         family=args.family, width=w, height=h, gop=args.gop, n_frames=n,
-        frames=[(t, b) for _, t, b in blobs],
+        frames=[(t, i, b) for i, t, b in blobs],
     )
     blob = seq.serialize()
     with open(args.bin, "wb") as f:

@@ -320,14 +320,23 @@ class VSequenceBitstream:
 
     The reference has no sequence-level B bitstream (its encode_B/decode_B
     code one frame per file, LHBDC/encode_B.py:114-126); this container is
-    the natural completion: frames ride in CODING order (the header's
-    (gop, n_frames) pair determines the schedule deterministically via
-    ``tpuvc.gop.order.sequence_schedule``, so the decoder needs no
-    side-channel).
+    the natural completion: frames ride in CODING order with their display
+    index, so the decoder replays the file order through the same DPB walk
+    the encoder used — no schedule side-channel.
+
+    ``mode`` records how device graphs were shaped during encoding:
+    0 = sequential (one frame per forward), 1 = level-batched with
+    ``max_batch`` frames per forward. The decoder must run the SAME batch
+    shapes: XLA graphs are deterministic per shape, but a B=1 and a B=4
+    convolution may reduce in different orders, and the decoder re-derives
+    entropy parameters from reconstructed references (LHBDC decode_B
+    re-estimates flow, decode_B.py:65-77) — a shape mismatch would corrupt
+    the rANS decode.
 
     Layout: b"TPV1" | uint8 family | uint16 width | uint16 height |
-    uint16 gop | uint16 n_frames | per frame in coding order:
-    uint8 type (0=I, 1=B) | uint32 length | blob.
+    uint16 gop | uint16 n_frames | uint8 mode | uint8 max_batch |
+    per frame in coding order:
+    uint8 type (0=I, 1=B) | uint16 display_idx | uint32 length | blob.
     width/height are the unpadded display size.
     """
 
@@ -336,15 +345,17 @@ class VSequenceBitstream:
     height: int
     gop: int
     n_frames: int
-    frames: list = field(default_factory=list)  # [(type_str, blob)]
+    frames: list = field(default_factory=list)  # [(type_str, idx, blob)]
+    mode: int = 0
+    max_batch: int = 0
 
     MAGIC = b"TPV1"
-    HEADER = "<4sBHHHH"
+    HEADER = "<4sBHHHHBB"
 
     @property
     def num_bytes(self) -> int:
         return struct.calcsize(self.HEADER) + sum(
-            5 + len(b) for _, b in self.frames
+            7 + len(b) for _, _, b in self.frames
         )
 
     def serialize(self) -> bytes:
@@ -352,27 +363,34 @@ class VSequenceBitstream:
             struct.pack(
                 self.HEADER, self.MAGIC, B_FAMILY_IDS[self.family],
                 self.width, self.height, self.gop, self.n_frames,
+                self.mode, self.max_batch,
             )
         ]
-        for typ, blob in self.frames:
-            out.append(struct.pack("<BI", 0 if typ == "I" else 1, len(blob)))
+        for typ, idx, blob in self.frames:
+            out.append(
+                struct.pack("<BHI", 0 if typ == "I" else 1, idx, len(blob))
+            )
             out.append(blob)
         return b"".join(out)
 
     @classmethod
     def deserialize(cls, blob: bytes) -> "VSequenceBitstream":
         hsize = struct.calcsize(cls.HEADER)
-        magic, fam, w, h, gop, n = struct.unpack(cls.HEADER, blob[:hsize])
+        magic, fam, w, h, gop, n, mode, mb = struct.unpack(
+            cls.HEADER, blob[:hsize]
+        )
         if magic != cls.MAGIC:
             raise ValueError(f"bad sequence magic: {magic!r}")
         off = hsize
         frames = []
         for _ in range(n):
-            t, L = struct.unpack("<BI", blob[off : off + 5])
-            off += 5
-            frames.append(("I" if t == 0 else "B", blob[off : off + L]))
+            t, idx, L = struct.unpack("<BHI", blob[off : off + 7])
+            off += 7
+            frames.append(
+                ("I" if t == 0 else "B", idx, blob[off : off + L])
+            )
             off += L
         return cls(
             family=B_FAMILY_NAMES[fam], width=w, height=h, gop=gop,
-            n_frames=n, frames=frames,
+            n_frames=n, frames=frames, mode=mode, max_batch=mb,
         )

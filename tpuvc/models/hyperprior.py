@@ -199,6 +199,78 @@ class HyperpriorCoder:
         """Decoded output from the quantized latent (decoder-identical)."""
         return self._synthesis(self.variables, y_hat)
 
+    def compress_batch(self, x: jnp.ndarray) -> dict:
+        """Batched compress with PER-SAMPLE streams.
+
+        The device transforms run once at batch B (level-batched coding:
+        the decoder will run the identical B-shaped graphs, which is what
+        makes the streams decodable — see VSequenceBitstream); the host
+        rANS packs one (y, z) stream pair per sample. Returns
+        {"strings": [(y_str, z_str)] * B, "shape", "y_hat" (B, ...)}.
+        """
+        from tpuvc.coder import encode_with_indexes
+
+        y, z = self._analysis(self.variables, x)
+        med = jnp.asarray(self.z_tables.medians)
+        z_sym = np.asarray(quantize(z, "symbols", means=med))
+        z_idx = np.broadcast_to(
+            np.arange(z.shape[-1], dtype=np.int32), z_sym.shape[1:]
+        )
+        z_hat = jnp.asarray(z_sym, jnp.float32) + med
+        scales, means = self._entropy_params(self.variables, z_hat)
+        y_idx = np.asarray(self.gaussian.build_indexes(scales))
+        y_sym = np.asarray(quantize(y, "symbols", means=means))
+        strings = []
+        for b in range(x.shape[0]):
+            z_str = encode_with_indexes(
+                z_sym[b], z_idx, self.z_tables.cdfs,
+                self.z_tables.cdf_lengths, self.z_tables.offsets,
+            )
+            y_str = encode_with_indexes(
+                y_sym[b], y_idx[b], self.y_tables.cdfs,
+                self.y_tables.cdf_lengths, self.y_tables.offsets,
+            )
+            strings.append((y_str, z_str))
+        return {
+            "strings": strings,
+            "shape": z.shape[1:3],
+            "y_hat": jnp.asarray(y_sym, jnp.float32) + means,
+        }
+
+    def decompress_batch(self, strings: list, shape) -> jnp.ndarray:
+        """Batched decompress of per-sample (y_str, z_str) pairs: host rANS
+        per sample, device transforms once at batch B (matching
+        compress_batch's graph shapes). Returns y_hat (B, ...)."""
+        from tpuvc.coder import decode_with_indexes
+
+        batch = len(strings)
+        zh, zw = shape
+        zc = self.module.N
+        z_idx = np.broadcast_to(np.arange(zc, dtype=np.int32), (zh, zw, zc))
+        z_sym = np.stack(
+            [
+                decode_with_indexes(
+                    z_str, z_idx, self.z_tables.cdfs,
+                    self.z_tables.cdf_lengths, self.z_tables.offsets,
+                ).reshape(zh, zw, zc)
+                for _, z_str in strings
+            ]
+        )
+        med = jnp.asarray(self.z_tables.medians)
+        z_hat = jnp.asarray(z_sym, jnp.float32) + med
+        scales, means = self._entropy_params(self.variables, z_hat)
+        y_idx = np.asarray(self.gaussian.build_indexes(scales))
+        y_sym = np.stack(
+            [
+                decode_with_indexes(
+                    y_str, y_idx[b], self.y_tables.cdfs,
+                    self.y_tables.cdf_lengths, self.y_tables.offsets,
+                ).reshape(y_idx.shape[1:])
+                for b, (y_str, _) in enumerate(strings)
+            ]
+        )
+        return jnp.asarray(y_sym, jnp.float32) + means
+
     def decompress(self, strings, shape, batch: int = 1) -> jnp.ndarray:
         from tpuvc.coder import decode_with_indexes
 

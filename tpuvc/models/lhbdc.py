@@ -280,3 +280,67 @@ class LHBDCCoder:
             [bitstream.res_y, bitstream.res_z], bitstream.res_shape
         )
         return x_pred + res_hat
+
+    def _predict_batch(self, x_before, x_after, mv_y_hat):
+        """Shared enc/dec batched prediction from refs + quantized MV
+        latent. Every op runs at batch B — the decoder re-estimates flow
+        from reconstructed references, so encoder and decoder MUST trace
+        the same B-shaped graphs for the entropy decode to stay in sync
+        (VSequenceBitstream mode=1)."""
+        size = (x_before.shape[1] // 4, x_before.shape[2] // 4)
+        flow_ba, flow_ab = self._motion_priors(
+            self.variables, x_before, x_after
+        )
+        flow_hat = self.mv_coder.synthesize(mv_y_hat)
+        flow_cb_hat, flow_ca_hat = jnp.split(flow_hat, 2, axis=-1)
+        return self._compensate(
+            self.variables, x_before, x_after, flow_cb_hat + flow_ab,
+            flow_ca_hat + flow_ba, size,
+        )
+
+    def encode_level_batch(self, x_before, x_current, x_after,
+                           rate_id: int = 0):
+        """Batched real-bitstream coding of one hierarchy level: B
+        independent frames share every device forward; host rANS packs one
+        stream set per frame. Returns ([BFrameBitstream] * B, x_hat (B,...))
+        with x_hat the decoder-identical reconstructions."""
+        from tpuvc.coder.container import BFrameBitstream
+
+        flow_ba, flow_ab = self._motion_priors(
+            self.variables, x_before, x_after
+        )
+        flow_cb, flow_ca = self._current_flows(
+            self.variables, x_current, x_before, x_after
+        )
+        diff_flow = jnp.concatenate(
+            [flow_cb - flow_ab, flow_ca - flow_ba], axis=-1
+        )
+        mv = self.mv_coder.compress_batch(diff_flow)
+        x_pred = self._predict_batch(x_before, x_after, mv["y_hat"])
+        res = self.res_coder.compress_batch(x_current - x_pred)
+        x_hat = x_pred + self.res_coder.synthesize(res["y_hat"])
+        bits = [
+            BFrameBitstream(
+                rate_id=rate_id,
+                mv_shape=tuple(mv["shape"]),
+                res_shape=tuple(res["shape"]),
+                mv_y=mv["strings"][b][0],
+                mv_z=mv["strings"][b][1],
+                res_y=res["strings"][b][0],
+                res_z=res["strings"][b][1],
+            )
+            for b in range(x_current.shape[0])
+        ]
+        return bits, x_hat
+
+    def decode_level_batch(self, x_before, x_after, bitstreams):
+        """Batched decode of one hierarchy level's frames (inverse of
+        encode_level_batch; same B-shaped graphs)."""
+        mv_y_hat = self.mv_coder.decompress_batch(
+            [(b.mv_y, b.mv_z) for b in bitstreams], bitstreams[0].mv_shape
+        )
+        x_pred = self._predict_batch(x_before, x_after, mv_y_hat)
+        res_y_hat = self.res_coder.decompress_batch(
+            [(b.res_y, b.res_z) for b in bitstreams], bitstreams[0].res_shape
+        )
+        return x_pred + self.res_coder.synthesize(res_y_hat)
