@@ -104,6 +104,23 @@ class TestBidirFlowRef:
         x_hat2 = coder.decode(xb, xa, parsed)
         np.testing.assert_array_equal(np.asarray(x_hat), np.asarray(x_hat2))
 
+    def test_level_batch_round_trip(self, flex, rng):
+        """Batched decode reproduces batched encode bit-for-bit."""
+        model, variables = flex
+        xb1, xc1, xa1 = _frames(rng)
+        xb2, xc2, xa2 = _frames(rng)
+        xb = jnp.concatenate([xb1, xb2], axis=0)
+        xc = jnp.concatenate([xc1, xc2], axis=0)
+        xa = jnp.concatenate([xa1, xa2], axis=0)
+        coder = FlexRateCoder(model, variables)
+        bits, recon = coder.encode_level_batch(xb, xc, xa, n=1, l=0.7)
+        assert len(bits) == 2
+        from tpuvc.coder.container import BFrameBitstream
+
+        parsed = [BFrameBitstream.deserialize(b.serialize()) for b in bits]
+        x_hat = coder.decode_level_batch(xb, xa, parsed)
+        np.testing.assert_array_equal(np.asarray(recon), np.asarray(x_hat))
+
     def test_encode_recon_matches_decode(self, flex, rng):
         model, variables = flex
         xb, xc, xa = _frames(rng)

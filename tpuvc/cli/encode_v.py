@@ -60,7 +60,7 @@ def build_parser():
                    )
     p.add_argument("--level_batched", action="store_true",
                    help="code frames of the same hierarchy level in one "
-                        "batched device forward (lhbdc only; the stream "
+                        "batched device forward (lhbdc/flexrate; the stream "
                         "records the mode — decode_v replays the same "
                         "batch shapes)")
     p.add_argument("--max_batch", type=int, default=8,
@@ -151,7 +151,7 @@ def code_b_frame(coder, family, args, ref1, ref2, xcur, idx, o1, o2,
 
 
 def _encode_level_batched(args, frames, coder, intra_coder):
-    """Real-bitstream level-batched encoding (lhbdc): frames of one
+    """Real-bitstream level-batched encoding (lhbdc/flexrate): frames of one
     hierarchy level share every device forward (the eval scheduler's
     batching, applied to actual coding). The decoder replays identical
     batch shapes (VSequenceBitstream mode=1), which is what keeps the
@@ -200,9 +200,14 @@ def _encode_level_batched(args, frames, coder, intra_coder):
                     ],
                     axis=0,
                 )
-                bits, x_hat = coder.encode_level_batch(
-                    xb, xc, xa, rate_id=args.l
-                )
+                if args.family == "lhbdc":
+                    bits, x_hat = coder.encode_level_batch(
+                        xb, xc, xa, rate_id=args.l
+                    )
+                else:
+                    bits, x_hat = coder.encode_level_batch(
+                        xb, xc, xa, n=args.n, l=args.interp
+                    )
                 x_hat = jnp.clip(x_hat, 0.0, 1.0)
                 for i, f in enumerate(chunk):
                     decoded[f] = x_hat[i : i + 1]
@@ -247,8 +252,10 @@ def main(argv=None):
     intra_coder = build_intra(args)
 
     if args.level_batched:
-        if args.family != "lhbdc":
-            raise SystemExit("--level_batched currently supports lhbdc only")
+        if args.family not in ("lhbdc", "flexrate"):
+            raise SystemExit(
+                "--level_batched currently supports lhbdc and flexrate"
+            )
         return _encode_level_batched(args, frames, coder, intra_coder)
 
     order, typ = sequence_schedule(args.gop, n)

@@ -262,6 +262,73 @@ class GainedHyperpriorCoder:
         """Decoded output from the quantized gained latent."""
         return self._synthesis(self.variables, y_hat, n, l)
 
+    def compress_batch(self, x, n: int, l: float = 1.0) -> dict:
+        """Batched compress with per-sample streams (level-batched coding;
+        see HyperpriorCoder.compress_batch — decoder must replay the same
+        B-shaped graphs)."""
+        from tpuvc.coder import encode_with_indexes
+        from tpuvc.entropy.quant import quantize
+
+        scaled_y, scaled_z = self._analysis(self.variables, x, n, l)
+        med = jnp.asarray(self.z_tables.medians)
+        z_sym = np.asarray(quantize(scaled_z, "symbols", means=med))
+        z_idx = np.broadcast_to(
+            np.arange(scaled_z.shape[-1], dtype=np.int32), z_sym.shape[1:]
+        )
+        z_hat = jnp.asarray(z_sym, jnp.float32) + med
+        scales, means = self._entropy_params(self.variables, z_hat, n, l)
+        y_idx = np.asarray(self.gaussian.build_indexes(scales))
+        y_sym = np.asarray(quantize(scaled_y, "symbols", means=means))
+        strings = []
+        for b in range(x.shape[0]):
+            z_str = encode_with_indexes(
+                z_sym[b], z_idx, self.z_tables.cdfs,
+                self.z_tables.cdf_lengths, self.z_tables.offsets,
+            )
+            y_str = encode_with_indexes(
+                y_sym[b], y_idx[b], self.y_tables.cdfs,
+                self.y_tables.cdf_lengths, self.y_tables.offsets,
+            )
+            strings.append((y_str, z_str))
+        return {
+            "strings": strings,
+            "shape": scaled_z.shape[1:3],
+            "y_hat": jnp.asarray(y_sym, jnp.float32) + means,
+        }
+
+    def decompress_batch(self, strings: list, shape, n: int, l: float = 1.0):
+        """Inverse of compress_batch; returns the quantized gained latent
+        y_hat (B, ...) — callers run gained_synthesis at batch B."""
+        from tpuvc.coder import decode_with_indexes
+
+        zh, zw = shape
+        zc = self.module.N
+        z_idx = np.broadcast_to(np.arange(zc, dtype=np.int32), (zh, zw, zc))
+        z_sym = np.stack(
+            [
+                decode_with_indexes(
+                    z_str, z_idx, self.z_tables.cdfs,
+                    self.z_tables.cdf_lengths, self.z_tables.offsets,
+                ).reshape(zh, zw, zc)
+                for _, z_str in strings
+            ]
+        )
+        z_hat = jnp.asarray(z_sym, jnp.float32) + jnp.asarray(
+            self.z_tables.medians
+        )
+        scales, means = self._entropy_params(self.variables, z_hat, n, l)
+        y_idx = np.asarray(self.gaussian.build_indexes(scales))
+        y_sym = np.stack(
+            [
+                decode_with_indexes(
+                    y_str, y_idx[b], self.y_tables.cdfs,
+                    self.y_tables.cdf_lengths, self.y_tables.offsets,
+                ).reshape(y_idx.shape[1:])
+                for b, (y_str, _) in enumerate(strings)
+            ]
+        )
+        return jnp.asarray(y_sym, jnp.float32) + means
+
     def decompress(self, strings, shape, n: int, l: float = 1.0, batch: int = 1):
         from tpuvc.coder import decode_with_indexes
 
@@ -369,6 +436,58 @@ class FlexRateCoder:
         )
         x_hat = x_comp + self.res_coder.synthesize(res["y_hat"], n, l)
         return bits, x_hat
+
+    def _predict_batch(self, x_before, x_after, flow_y_hat, n, l):
+        """Shared enc/dec batched prediction (same B-shaped graphs on both
+        sides — see LHBDCCoder._predict_batch)."""
+        mv_before, mv_after, _ = self._process(
+            self.variables, x_before, x_after
+        )
+        flow_hat = self.flow_coder.synthesize(flow_y_hat, n, l)
+        return self._compensate(
+            self.variables, x_before, x_after,
+            mv_before + flow_hat[..., :2], mv_after + flow_hat[..., 2:4],
+        )
+
+    def encode_level_batch(self, x_before, x_current, x_after, n: int,
+                           l: float = 1.0):
+        """Batched real coding of one hierarchy level (see
+        LHBDCCoder.encode_level_batch)."""
+        from tpuvc.coder.container import BFrameBitstream
+
+        _, _, context = self._process(self.variables, x_before, x_after)
+        x_input = jnp.concatenate([context, x_current], axis=-1)
+        mv = self.flow_coder.compress_batch(x_input, n, l)
+        x_comp = self._predict_batch(x_before, x_after, mv["y_hat"], n, l)
+        res = self.res_coder.compress_batch(x_current - x_comp, n, l)
+        x_hat = x_comp + self.res_coder.synthesize(res["y_hat"], n, l)
+        rate_id = n * 100000 + int(round(l * 1000))
+        bits = [
+            BFrameBitstream(
+                rate_id=rate_id,
+                mv_shape=tuple(mv["shape"]),
+                res_shape=tuple(res["shape"]),
+                mv_y=mv["strings"][b][0],
+                mv_z=mv["strings"][b][1],
+                res_y=res["strings"][b][0],
+                res_z=res["strings"][b][1],
+            )
+            for b in range(x_current.shape[0])
+        ]
+        return bits, x_hat
+
+    def decode_level_batch(self, x_before, x_after, bitstreams):
+        n, l = self.parse_rate_id(bitstreams[0].rate_id)
+        flow_y_hat = self.flow_coder.decompress_batch(
+            [(b.mv_y, b.mv_z) for b in bitstreams],
+            bitstreams[0].mv_shape, n, l,
+        )
+        x_comp = self._predict_batch(x_before, x_after, flow_y_hat, n, l)
+        res_y_hat = self.res_coder.decompress_batch(
+            [(b.res_y, b.res_z) for b in bitstreams],
+            bitstreams[0].res_shape, n, l,
+        )
+        return x_comp + self.res_coder.synthesize(res_y_hat, n, l)
 
     @staticmethod
     def parse_rate_id(rate_id: int) -> tuple[int, float]:
