@@ -76,6 +76,26 @@ class TestDeformBBitstream:
         x_hat2 = coder.decode(x1, x2, parsed)
         np.testing.assert_array_equal(np.asarray(x_hat), np.asarray(x_hat2))
 
+    def test_level_batch_round_trip(self, deformb, rng):
+        """Batched decode reproduces batched encode bit-for-bit."""
+        from tpuvc.coder.container import VFrameBitstream
+        from tpuvc.models.deform_b import DeformBCoder
+
+        model, variables = deformb
+        a1, c1, b1 = _frames(rng)
+        a2, c2, b2 = _frames(rng)
+        import jax.numpy as jnp
+
+        x1 = jnp.concatenate([a1, a2], axis=0)
+        xc = jnp.concatenate([c1, c2], axis=0)
+        x2 = jnp.concatenate([b1, b2], axis=0)
+        coder = DeformBCoder(model, variables)
+        bits, recon = coder.encode_level_batch(x1, x2, xc, s=1.0)
+        assert len(bits) == 2
+        parsed = [VFrameBitstream.deserialize(b.serialize()) for b in bits]
+        x_hat = coder.decode_level_batch(x1, x2, parsed)
+        np.testing.assert_array_equal(np.asarray(recon), np.asarray(x_hat))
+
     def test_encode_recon_matches_decode(self, deformb, rng):
         from tpuvc.coder.container import VFrameBitstream
         from tpuvc.models.deform_b import DeformBCoder

@@ -55,6 +55,23 @@ class TestFlowGuidedBitstream:
         x_hat2 = coder.decode(x1, x2, parsed)
         np.testing.assert_array_equal(np.asarray(x_hat), np.asarray(x_hat2))
 
+    def test_level_batch_round_trip(self, fgb_coder, rng):
+        """Batched decode reproduces batched encode bit-for-bit."""
+        model, variables, coder = fgb_coder
+        base = rng.random((2, 64, 64, 3), dtype=np.float32)
+        drift = 0.03 * rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+        x1 = jnp.asarray(base)
+        xc = jnp.clip(jnp.asarray(base + 0.5 * drift), 0, 1)
+        x2 = jnp.clip(jnp.asarray(base + drift), 0, 1)
+
+        bits, recon = coder.encode_level_batch(
+            x1, x2, xc, s=1.0, scale1=0.5, scale2=-0.5
+        )
+        assert len(bits) == 2
+        parsed = [VFrameBitstream.deserialize(b.serialize()) for b in bits]
+        x_hat = coder.decode_level_batch(x1, x2, parsed)
+        np.testing.assert_array_equal(np.asarray(recon), np.asarray(x_hat))
+
     def test_encode_recon_matches_decode(self, fgb_coder, rng):
         model, variables, coder = fgb_coder
         base = rng.random((1, 64, 64, 3), dtype=np.float32)

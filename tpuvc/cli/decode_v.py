@@ -45,7 +45,8 @@ def build_parser():
     return p
 
 
-def _decode_level_batched(args, seq, coder, intra_coder, originals):
+def _decode_level_batched(args, seq, coder, intra_coder, originals,
+                          frame_cls):
     """Decode a mode=1 (level-batched) stream: regroup the file's B
     records into the encoder's exact chunks (consecutive same-level frames
     of one GOP, capped at the header's max_batch) and run the same
@@ -54,7 +55,7 @@ def _decode_level_batched(args, seq, coder, intra_coder, originals):
     import jax.numpy as jnp
     import numpy as np
 
-    from tpuvc.coder.container import BFrameBitstream, IFrameBitstream
+    from tpuvc.coder.container import IFrameBitstream
     from tpuvc.data.frames import save_png
     from tpuvc.eval.metrics import psnr_uint8
     from tpuvc.gop.order import gop_coding_table
@@ -76,7 +77,7 @@ def _decode_level_batched(args, seq, coder, intra_coder, originals):
         refs = [table.refs[f] for f in locs]
         xb = jnp.concatenate([decoded[g0 + a] for a, _ in refs], axis=0)
         xa = jnp.concatenate([decoded[g0 + b] for _, b in refs], axis=0)
-        bits = [BFrameBitstream.deserialize(blob) for _, blob in chunk]
+        bits = [frame_cls.deserialize(blob) for _, blob in chunk]
         x_hat = jnp.clip(
             coder.decode_level_batch(xb, xa, bits), 0.0, 1.0
         )
@@ -167,7 +168,9 @@ def main(argv=None):
         originals = load_frames(args)
 
     if seq.mode == 1:
-        return _decode_level_batched(args, seq, coder, intra_coder, originals)
+        return _decode_level_batched(
+            args, seq, coder, intra_coder, originals, frame_cls
+        )
     dpb = DecodedPictureBuffer()
     decoded: dict[int, jnp.ndarray] = {}
     t0 = time.perf_counter()

@@ -60,7 +60,7 @@ def build_parser():
                    )
     p.add_argument("--level_batched", action="store_true",
                    help="code frames of the same hierarchy level in one "
-                        "batched device forward (lhbdc/flexrate; the stream "
+                        "batched device forward (any family; the stream "
                         "records the mode — decode_v replays the same "
                         "batch shapes)")
     p.add_argument("--max_batch", type=int, default=8,
@@ -151,7 +151,7 @@ def code_b_frame(coder, family, args, ref1, ref2, xcur, idx, o1, o2,
 
 
 def _encode_level_batched(args, frames, coder, intra_coder):
-    """Real-bitstream level-batched encoding (lhbdc/flexrate): frames of one
+    """Real-bitstream level-batched encoding (all four families): frames of one
     hierarchy level share every device forward (the eval scheduler's
     batching, applied to actual coding). The decoder replays identical
     batch shapes (VSequenceBitstream mode=1), which is what keeps the
@@ -204,9 +204,22 @@ def _encode_level_batched(args, frames, coder, intra_coder):
                     bits, x_hat = coder.encode_level_batch(
                         xb, xc, xa, rate_id=args.l
                     )
-                else:
+                elif args.family == "flexrate":
                     bits, x_hat = coder.encode_level_batch(
                         xb, xc, xa, n=args.n, l=args.interp
+                    )
+                elif args.family == "deform_b":
+                    bits, x_hat = coder.encode_level_batch(
+                        xb, xa, xc, s=args.s
+                    )
+                else:
+                    from tpuvc.models.flowguided_b import get_scales
+
+                    a0, b0 = refs[0]
+                    s1, s2 = get_scales(chunk[0], a0, b0)
+                    bits, x_hat = coder.encode_level_batch(
+                        xb, xa, xc, s=args.s, scale1=s1, scale2=s2,
+                        down_ratio=args.down_ratio,
                     )
                 x_hat = jnp.clip(x_hat, 0.0, 1.0)
                 for i, f in enumerate(chunk):
@@ -252,10 +265,6 @@ def main(argv=None):
     intra_coder = build_intra(args)
 
     if args.level_batched:
-        if args.family not in ("lhbdc", "flexrate"):
-            raise SystemExit(
-                "--level_batched currently supports lhbdc and flexrate"
-            )
         return _encode_level_batched(args, frames, coder, intra_coder)
 
     order, typ = sequence_schedule(args.gop, n)

@@ -363,13 +363,52 @@ class CondELICCoder:
             for i in range(len(module.groups))
         }
 
-    def _code_group(self, i, curr_y, hyper, prev, streams=None):
+    def _code_group(self, i, curr_y, hyper, prev, streams=None,
+                    per_sample=False):
+        """Two-phase checkerboard coding of group i at batch B.
+
+        per_sample=False: one stream per phase covering the whole batch
+        (the single-frame coder's layout). per_sample=True: one stream per
+        (phase, sample) — level-batched sequence coding, where each frame
+        must stay independently decodable; ``streams`` is then a pair of
+        per-sample string lists.
+        """
         from tpuvc.coder import decode_with_indexes, encode_with_indexes
         from tpuvc.ops.checkerboard import anchor_mask
 
         b, h, w = hyper.shape[0], hyper.shape[1], hyper.shape[2]
         gsize = self.module.groups[i]
         amask = np.asarray(anchor_mask(h, w)).astype(bool)
+
+        def enc(sym, idx):
+            if not per_sample:
+                return encode_with_indexes(
+                    sym, idx, self.y_tables.cdfs, self.y_tables.cdf_lengths,
+                    self.y_tables.offsets,
+                )
+            return [
+                encode_with_indexes(
+                    sym[j], idx[j], self.y_tables.cdfs,
+                    self.y_tables.cdf_lengths, self.y_tables.offsets,
+                )
+                for j in range(b)
+            ]
+
+        def dec(strs, idx):
+            if not per_sample:
+                return decode_with_indexes(
+                    strs, idx, self.y_tables.cdfs, self.y_tables.cdf_lengths,
+                    self.y_tables.offsets,
+                ).reshape(idx.shape)
+            return np.stack(
+                [
+                    decode_with_indexes(
+                        strs[j], idx[j], self.y_tables.cdfs,
+                        self.y_tables.cdf_lengths, self.y_tables.offsets,
+                    ).reshape(idx.shape[1:])
+                    for j in range(b)
+                ]
+            )
 
         zeros = jnp.zeros((b, h, w, gsize), jnp.float32)
         scales_a, means_a = self._group_params[i](
@@ -380,15 +419,9 @@ class CondELICCoder:
         if streams is None:
             y_np = np.asarray(curr_y)[:, amask]
             sym_a = np.rint(y_np - means_a_np).astype(np.int32)
-            str_a = encode_with_indexes(
-                sym_a, idx_a, self.y_tables.cdfs, self.y_tables.cdf_lengths,
-                self.y_tables.offsets,
-            )
+            str_a = enc(sym_a, idx_a)
         else:
-            sym_a = decode_with_indexes(
-                streams[0], idx_a, self.y_tables.cdfs,
-                self.y_tables.cdf_lengths, self.y_tables.offsets,
-            ).reshape(idx_a.shape)
+            sym_a = dec(streams[0], idx_a)
             str_a = streams[0]
         anchor_full = np.zeros((b, h, w, gsize), np.float32)
         anchor_full[:, amask] = sym_a + means_a_np
@@ -403,16 +436,10 @@ class CondELICCoder:
         if streams is None:
             y_np = np.asarray(curr_y)[:, nmask]
             sym_n = np.rint(y_np - means_n_np).astype(np.int32)
-            str_n = encode_with_indexes(
-                sym_n, idx_n, self.y_tables.cdfs, self.y_tables.cdf_lengths,
-                self.y_tables.offsets,
-            )
+            str_n = enc(sym_n, idx_n)
             out_streams = [str_a, str_n]
         else:
-            sym_n = decode_with_indexes(
-                streams[1], idx_n, self.y_tables.cdfs,
-                self.y_tables.cdf_lengths, self.y_tables.offsets,
-            ).reshape(idx_n.shape)
+            sym_n = dec(streams[1], idx_n)
             out_streams = streams
         full = np.asarray(anchor_full)
         full[:, nmask] = sym_n + means_n_np
@@ -471,6 +498,101 @@ class CondELICCoder:
             "z_shape": tuple(z_shape),
             "outs": (out1, out2, out3),
         }
+
+    def compress_batch(self, inputs, conds, temporal_cond, s, x_pixel=None):
+        """Batched compress with PER-SAMPLE stream lists: device
+        transforms and group params run once at batch B (the decoder
+        replays the same B-shaped graphs — VSequenceBitstream mode=1);
+        each frame gets its own [z, a0, n0, a1, n1, ...] stream list in
+        the single-frame layout, so VFrameBitstream works unchanged.
+
+        -> {"streams": [per-frame list] * B, "z_shape", "outs"}.
+        """
+        from tpuvc.coder import encode_with_indexes
+        from tpuvc.entropy.quant import quantize
+
+        y, z = self._analysis(self.variables, *inputs, s, x_pixel)
+        b = z.shape[0]
+        zc = self.module.N
+        med = jnp.asarray(self.z_tables.medians)
+        z_sym = np.asarray(quantize(z, "symbols", means=med))
+        z_idx = np.broadcast_to(
+            np.arange(zc, dtype=np.int32), z_sym.shape[1:]
+        )
+        z_strs = [
+            encode_with_indexes(
+                z_sym[j], z_idx, self.z_tables.cdfs,
+                self.z_tables.cdf_lengths, self.z_tables.offsets,
+            )
+            for j in range(b)
+        ]
+        z_hat = jnp.asarray(z_sym, jnp.float32) + med
+        hyper = self._hyper(self.variables, z_hat, temporal_cond, s)
+
+        per_frame = [[zs] for zs in z_strs]
+        groups_hat = []
+        start = 0
+        for i, g in enumerate(self.module.groups):
+            curr_y = y[..., start : start + g]
+            start += g
+            prev = (
+                jnp.concatenate(groups_hat, axis=-1)
+                if i > 0
+                else jnp.zeros(hyper.shape[:3] + (0,), jnp.float32)
+            )
+            g_hat, (a_strs, n_strs) = self._code_group(
+                i, curr_y, hyper, prev, per_sample=True
+            )
+            groups_hat.append(g_hat)
+            for j in range(b):
+                per_frame[j].extend([a_strs[j], n_strs[j]])
+        y_hat = jnp.concatenate(groups_hat, axis=-1)
+        out1, out2, out3 = self._synthesis(self.variables, y_hat, *conds, s)
+        return {
+            "streams": per_frame,
+            "z_shape": tuple(z.shape[1:3]),
+            "outs": (out1, out2, out3),
+        }
+
+    def decompress_batch(self, per_frame_streams, z_shape, conds,
+                         temporal_cond, s):
+        """Inverse of compress_batch: per-frame stream lists in, batched
+        synthesis out (same B-shaped graphs as the encoder)."""
+        from tpuvc.coder import decode_with_indexes
+
+        b = len(per_frame_streams)
+        zh, zw = z_shape
+        zc = self.module.N
+        z_idx = np.broadcast_to(np.arange(zc, dtype=np.int32), (zh, zw, zc))
+        z_sym = np.stack(
+            [
+                decode_with_indexes(
+                    frame[0], z_idx, self.z_tables.cdfs,
+                    self.z_tables.cdf_lengths, self.z_tables.offsets,
+                ).reshape(zh, zw, zc)
+                for frame in per_frame_streams
+            ]
+        )
+        z_hat = jnp.asarray(z_sym, jnp.float32) + jnp.asarray(
+            self.z_tables.medians
+        )
+        hyper = self._hyper(self.variables, z_hat, temporal_cond, s)
+        groups_hat = []
+        for i in range(len(self.module.groups)):
+            prev = (
+                jnp.concatenate(groups_hat, axis=-1)
+                if i > 0
+                else jnp.zeros(hyper.shape[:3] + (0,), jnp.float32)
+            )
+            a_strs = [f[1 + 2 * i] for f in per_frame_streams]
+            n_strs = [f[2 + 2 * i] for f in per_frame_streams]
+            g_hat, _ = self._code_group(
+                i, None, hyper, prev, streams=[a_strs, n_strs],
+                per_sample=True,
+            )
+            groups_hat.append(g_hat)
+        y_hat = jnp.concatenate(groups_hat, axis=-1)
+        return self._synthesis(self.variables, y_hat, *conds, s)
 
     def decompress(self, streams, z_shape, conds, temporal_cond, s, batch=1):
         z_hat, _, _ = self._code_z(

@@ -304,6 +304,64 @@ class DeformBCoder:
         x_hat = self._recon(self.variables, *x_full)
         return bits, x_hat
 
+    def encode_level_batch(self, xref1, xref2, xcur, s):
+        """Batched real coding of one hierarchy level (VSequenceBitstream
+        mode=1): both conditional bottlenecks run at batch B with
+        per-frame streams; reconstruction comes from the compress-side
+        quantized latents (decoder-identical)."""
+        from tpuvc.coder.container import VFrameBitstream
+
+        cond, offset_temp, fref1, fref2 = self._context(
+            self.variables, xref1, xref2
+        )
+        fcur = self._features(self.variables, xcur)
+        inputs = tuple(
+            jnp.concatenate([c, f], axis=-1) for c, f in zip(cond, fcur)
+        )
+        off = self.offset_coder.compress_batch(inputs, cond, offset_temp, s)
+        x_comp = self._fuse(self.variables, off["outs"], fref1, fref2)
+        res_temp = self._res_cond(self.variables, x_comp)
+        res_inputs = tuple(
+            jnp.concatenate([f, xc], axis=-1) for f, xc in zip(fcur, x_comp)
+        )
+        res = self.res_coder.compress_batch(
+            res_inputs, x_comp, res_temp, s, x_pixel=xcur
+        )
+        bits = [
+            VFrameBitstream(
+                s_milli=int(round(float(s) * 1000)),
+                down_ratio=1,
+                scale1_centi=0,
+                scale2_centi=0,
+                z_shape=off["z_shape"],
+                streams=list(off["streams"][b]) + list(res["streams"][b]),
+            )
+            for b in range(xcur.shape[0])
+        ]
+        x_full = tuple(xc + r for xc, r in zip(x_comp, res["outs"]))
+        x_hat = self._recon(self.variables, *x_full)
+        return bits, x_hat
+
+    def decode_level_batch(self, xref1, xref2, bitstreams):
+        """Inverse of encode_level_batch (same B-shaped graphs)."""
+        s = bitstreams[0].s_milli / 1000.0
+        n = 1 + 2 * len(self.model.groups)
+        off_streams = [list(b.streams[:n]) for b in bitstreams]
+        res_streams = [list(b.streams[n:]) for b in bitstreams]
+        cond, offset_temp, fref1, fref2 = self._context(
+            self.variables, xref1, xref2
+        )
+        heads = self.offset_coder.decompress_batch(
+            off_streams, bitstreams[0].z_shape, cond, offset_temp, s
+        )
+        x_comp = self._fuse(self.variables, heads, fref1, fref2)
+        res_temp = self._res_cond(self.variables, x_comp)
+        residues = self.res_coder.decompress_batch(
+            res_streams, bitstreams[0].z_shape, x_comp, res_temp, s
+        )
+        x_full = tuple(xc + r for xc, r in zip(x_comp, residues))
+        return self._recon(self.variables, *x_full)
+
     def decode(self, xref1, xref2, bitstream):
         s = bitstream.s_milli / 1000.0
         n = 1 + 2 * len(self.model.groups)

@@ -432,6 +432,65 @@ class FlowGuidedBCoder:
         x_hat = self._recon(self.variables, *x_full)
         return bits, x_hat
 
+    def encode_level_batch(self, xref1, xref2, xcur, s, scale1, scale2,
+                           down_ratio: int = 1):
+        """Batched real coding of one hierarchy level (VSequenceBitstream
+        mode=1). Frames of one level share temporal geometry, so one
+        (scale1, scale2, down_ratio) triple serves the whole batch."""
+        from tpuvc.coder.container import VFrameBitstream
+
+        cond, offset_temp, flows, fref1, fref2 = self._context(
+            self.variables, xref1, xref2, scale1, scale2, down_ratio
+        )
+        fcur = self._features(self.variables, xcur)
+        inputs = tuple(
+            jnp.concatenate([c, f], axis=-1) for c, f in zip(cond, fcur)
+        )
+        off = self.offset_coder.compress_batch(inputs, cond, offset_temp, s)
+        x_comp = self._fuse(self.variables, off["outs"], fref1, fref2, flows)
+        res_temp = self._res_cond(self.variables, x_comp)
+        res_inputs = tuple(
+            jnp.concatenate([f, xc], axis=-1) for f, xc in zip(fcur, x_comp)
+        )
+        res = self.res_coder.compress_batch(res_inputs, x_comp, res_temp, s)
+        bits = [
+            VFrameBitstream(
+                s_milli=int(round(float(s) * 1000)),
+                down_ratio=down_ratio,
+                scale1_centi=int(round(float(scale1) * 100)),
+                scale2_centi=int(round(float(scale2) * 100)),
+                z_shape=off["z_shape"],
+                streams=list(off["streams"][b]) + list(res["streams"][b]),
+            )
+            for b in range(xcur.shape[0])
+        ]
+        x_full = tuple(xc + r for xc, r in zip(x_comp, res["outs"]))
+        x_hat = self._recon(self.variables, *x_full)
+        return bits, x_hat
+
+    def decode_level_batch(self, xref1, xref2, bitstreams):
+        """Inverse of encode_level_batch (same B-shaped graphs)."""
+        b0 = bitstreams[0]
+        s = b0.s_milli / 1000.0
+        scale1, scale2 = b0.scale1_centi / 100.0, b0.scale2_centi / 100.0
+        n = 1 + 2 * len(self.model.groups)
+        off_streams = [list(b.streams[:n]) for b in bitstreams]
+        res_streams = [list(b.streams[n:]) for b in bitstreams]
+        cond, offset_temp, flows, fref1, fref2 = self._context(
+            self.variables, xref1, xref2, scale1, scale2,
+            int(b0.down_ratio),
+        )
+        heads = self.offset_coder.decompress_batch(
+            off_streams, b0.z_shape, cond, offset_temp, s
+        )
+        x_comp = self._fuse(self.variables, heads, fref1, fref2, flows)
+        res_temp = self._res_cond(self.variables, x_comp)
+        residues = self.res_coder.decompress_batch(
+            res_streams, b0.z_shape, x_comp, res_temp, s
+        )
+        x_full = tuple(xc + r for xc, r in zip(x_comp, residues))
+        return self._recon(self.variables, *x_full)
+
     def decode(self, xref1, xref2, bitstream):
         s = bitstream.s_milli / 1000.0
         scale1 = bitstream.scale1_centi / 100.0
