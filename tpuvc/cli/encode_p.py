@@ -167,7 +167,12 @@ def main(argv=None):
                 ratio = args.ratio
             # Async split: the DPB comes back immediately (device chain);
             # host rANS packs the stream on a worker thread, overlapping
-            # the next frame's transforms.
+            # the next frame's transforms. Backpressure: each pending
+            # future pins its frame's symbol planes on device, so bound
+            # the backlog in case host packing lags the device.
+            pending = [f for _, f in entries if not isinstance(f, bytes)]
+            if len([f for f in pending if not f.done()]) >= 4:
+                pending[-4].result()
             fut, dpb = p_coder.encode_async(x, dpb, ratio=ratio, q=args.q)
             entries.append(("P", fut))
         print(f"frame {i:4d} {entries[-1][0]} ratio {ratio}")

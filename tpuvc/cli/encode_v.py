@@ -186,6 +186,9 @@ def _encode_level_batched(args, frames, coder, intra_coder):
         for b in (g0, g0 + gop):
             if b not in anchors:
                 intra(b)
+        # Older anchors can no longer be referenced — free their HBM.
+        for k in [k for k in anchors if k < g0]:
+            del anchors[k]
         decoded = {0: anchors[g0], gop: anchors[g0 + gop]}
         for level_frames in table.frames_by_level():
             for c0 in range(0, len(level_frames), args.max_batch):
@@ -265,6 +268,11 @@ def main(argv=None):
     intra_coder = build_intra(args)
 
     if args.level_batched:
+        if args.adaptive:
+            raise SystemExit(
+                "--adaptive needs the sequential mode (the per-frame "
+                "ratio search breaks level batching); drop one flag"
+            )
         return _encode_level_batched(args, frames, coder, intra_coder)
 
     order, typ = sequence_schedule(args.gop, n)

@@ -383,13 +383,23 @@ class VSequenceBitstream:
             raise ValueError(f"bad sequence magic: {magic!r}")
         off = hsize
         frames = []
-        for _ in range(n):
+        for k in range(n):
+            if off + 7 > len(blob):
+                raise ValueError(
+                    f"truncated sequence: record {k}/{n} header past EOF"
+                )
             t, idx, L = struct.unpack("<BHI", blob[off : off + 7])
             off += 7
+            if off + L > len(blob):
+                raise ValueError(
+                    f"truncated sequence: frame {idx} blob past EOF"
+                )
             frames.append(
                 ("I" if t == 0 else "B", idx, blob[off : off + L])
             )
             off += L
+        if off != len(blob):
+            raise ValueError(f"{len(blob) - off} trailing bytes")
         return cls(
             family=B_FAMILY_NAMES[fam], width=w, height=h, gop=gop,
             n_frames=n, frames=frames, mode=mode, max_batch=mb,

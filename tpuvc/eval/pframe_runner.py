@@ -4,17 +4,17 @@ Parity: the OJSP2025 evaluation loop (video_model.py:505-676 call structure):
 I-frame via the intra codec, then chained P-frames; each P-frame first runs
 the fractional down-ratio search with hysteresis toward the previous frame's
 ratio, then codes at the chosen ratio, propagating the DCVC-style DPB dict.
-Per-frame diagnostics are recorded in the OJSP CSV shape
-(tpuvc.eval.results_io.PerFrameDiagnostics).
+
+Thin adapter over the canonical loop in tpuvc.eval.runner
+(``eval_sequence_lowdelay``) — one implementation of the protocol, two
+calling conventions (this one matches the DMC model's output dict and the
+raw warp-prediction function).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-import jax.numpy as jnp
-
-from tpuvc.eval.metrics import psnr_uint8
 from tpuvc.eval.results_io import PerFrameDiagnostics
 from tpuvc.gop.adaptive import OJSP_RATIOS, fractional_ratio_search
 
@@ -36,38 +36,25 @@ def eval_pframe_sequence(
     pframe_fn(x, dpb, ratio) -> dict(x_hat, bits, dpb, ...)
     warp_pred_fn(x, ref_frame, ratio) -> warp-only prediction frame.
     """
-    h, w = crop_hw
-    psnrs, sizes = [], []
-    dpb = None
-    for i in range(n_frames):
-        x = frames[i]
-        if i % intra_period == 0:
-            dec, bits = intra_fn(x)
-            dec = jnp.clip(dec, 0.0, 1.0)
-            dpb = {
-                "ref_frame": dec,
-                "ref_feature": None,
-                "ref_down_ratio": 1.0,
-            }
-            ratio, warp_psnr = 1.0, None
-            typ = "I"
-        else:
-            ratio, warp_psnr, _ = fractional_ratio_search(
-                lambda r: warp_pred_fn(x, dpb["ref_frame"], r),
-                x,
-                prev_ratio=dpb["ref_down_ratio"],
-                ratios=ratios,
-            )
-            out = pframe_fn(x, dpb, ratio)
-            dec, bits, dpb = out["x_hat"], out["bits"], out["dpb"]
-            typ = "P"
-        p = float(psnr_uint8(x[:, :h, :w], dec[:, :h, :w]))
-        psnrs.append(p)
-        sizes.append(float(bits))
-        if diagnostics is not None:
-            diagnostics.update(
-                frame=i, type=typ, down_ratio=ratio, psnr=p,
-                warp_psnr=warp_psnr, bits=float(bits),
-                bpp=float(bits) / (h * w),
-            )
-    return psnrs, sizes
+    from tpuvc.eval.runner import eval_sequence_lowdelay
+
+    def ratio_for_frame(x, dpb):
+        ratio, _, _ = fractional_ratio_search(
+            lambda r: warp_pred_fn(x, dpb["ref_frame"], r),
+            x,
+            prev_ratio=dpb["ref_down_ratio"],
+            ratios=ratios,
+        )
+        return ratio
+
+    def pf(x, dpb, ratio):
+        out = pframe_fn(x, dpb, ratio)
+        extras = {
+            k: float(out[k]) for k in ("bits_mv", "bits_y") if k in out
+        } if diagnostics is not None else {}
+        return out["x_hat"], out["bits"], out["dpb"], extras
+
+    return eval_sequence_lowdelay(
+        frames, n_frames, intra_period, intra_fn, pf, crop_hw,
+        ratio_for_frame=ratio_for_frame, diagnostics=diagnostics,
+    )

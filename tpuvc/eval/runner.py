@@ -80,6 +80,8 @@ def eval_sequence(
         pending.append((order, p_dev, size, ms_dev))
         dpb.add(jnp.clip(dec, 0.0, 1.0), order)
 
+    if not pending:
+        return psnr_list, size_list
     ps = np.asarray(jnp.stack([p for _, p, _, _ in pending]))
     szs = np.asarray(jnp.stack([jnp.asarray(s) for _, _, s, _ in pending]))
     mss = (
@@ -161,6 +163,8 @@ def eval_sequence_lowdelay(
             ms_dev = msssim(frame[:, :h, :w], jnp.clip(dec[:, :h, :w], 0, 1))
         pending.append((typ, ratio, p_dev, size, ms_dev, extras))
 
+    if not pending:
+        return [], []
     ps = np.asarray(jnp.stack([p for _, _, p, _, _, _ in pending]))
     szs = np.asarray(
         jnp.stack([jnp.asarray(s) for _, _, _, s, _, _ in pending])

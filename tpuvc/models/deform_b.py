@@ -237,35 +237,7 @@ class DeformBCoder:
         )
 
     def encode(self, xref1, xref2, xcur, s):
-        from tpuvc.coder.container import VFrameBitstream
-
-        cond, offset_temp, fref1, fref2 = self._context(
-            self.variables, xref1, xref2
-        )
-        fcur = self._features(self.variables, xcur)
-        inputs = tuple(
-            jnp.concatenate([c, f], axis=-1) for c, f in zip(cond, fcur)
-        )
-        off = self.offset_coder.compress(inputs, cond, offset_temp, s)
-        heads = self.offset_coder.decompress(
-            off["streams"], off["z_shape"], cond, offset_temp, s
-        )
-        x_comp = self._fuse(self.variables, heads, fref1, fref2)
-        res_temp = self._res_cond(self.variables, x_comp)
-        res_inputs = tuple(
-            jnp.concatenate([f, xc], axis=-1) for f, xc in zip(fcur, x_comp)
-        )
-        res = self.res_coder.compress(
-            res_inputs, x_comp, res_temp, s, x_pixel=xcur
-        )
-        return VFrameBitstream(
-            s_milli=int(round(float(s) * 1000)),
-            down_ratio=1,
-            scale1_centi=0,
-            scale2_centi=0,
-            z_shape=off["z_shape"],
-            streams=list(off["streams"]) + list(res["streams"]),
-        )
+        return self.encode_recon(xref1, xref2, xcur, s)[0]
 
     def encode_recon(self, xref1, xref2, xcur, s):
         """Encode + decoder-identical reconstruction in one pass: the

@@ -345,7 +345,6 @@ class PFrameDMCCoder:
             )
         m = model
         self._mv_analysis = {}
-        self._enc_graphs: dict = {}
         from concurrent.futures import ThreadPoolExecutor
 
         # One worker: streams must finish in submission order anyway, and
@@ -439,59 +438,64 @@ class PFrameDMCCoder:
         ).reshape(y_idx.shape)
         return jnp.asarray(y_sym, jnp.float32) + means
 
-    def _enc_graph(self, ratio: float):
-        """One fused jit for the whole encode-side device chain: symbols
-        are quantized ON DEVICE (bit-identical to what the decoder rebuilds
-        from the streams), so the reconstruction/DPB never waits on host
-        rANS — the host only converts symbols to bytes afterwards."""
-        if ratio in self._enc_graphs:
-            return self._enc_graphs[ratio]
+    def _enc_transforms(self, x, dpb, ratio, q):
+        """Encode-side device chain with ON-DEVICE symbol quantization.
+
+        Deliberately composed from the SAME jitted pieces the decoder runs
+        (_mv_params, _mv_synthesis, _compensate, _frame_params,
+        _frame_synthesis): entropy parameters must be bit-identical
+        between encoder and decoder or the rANS bucket indexes desync, and
+        XLA guarantees determinism only per compiled program — fusing
+        these stages into one megagraph could reassociate the very floats
+        the decoder recomputes in its standalone graphs. The glue between
+        the shared jits (symbol rounding, mean addition) is exact
+        elementwise arithmetic, safe to run eagerly.
+
+        The payoff over the old interleaved encode: no host fetch anywhere
+        in the chain, so the new DPB is available immediately and host
+        rANS runs entirely after the fact (encode_async overlaps it with
+        the next frame's transforms).
+        """
         m = self.model
+        if ratio not in self._mv_analysis:
+            self._mv_analysis[ratio] = jax.jit(
+                lambda v, x, ref, q, r=ratio: m.apply(
+                    v, x, ref, r, q, method=PFrameDMC.mv_analysis
+                )
+            )
         med_mv = jnp.asarray(self.tables["mv_coder"].medians)
         med_z = jnp.asarray(self.tables["y_coder"].medians)
 
-        @jax.jit
-        def run(v, x, dpb, q):
-            ref = dpb["ref_frame"]
-            mv_y, mv_z = m.apply(
-                v, x, ref, ratio, q, method=PFrameDMC.mv_analysis
-            )
-            mv_z_sym = quantize(mv_z, "symbols", means=med_mv)
-            mv_z_hat = mv_z_sym.astype(jnp.float32) + med_mv
-            mv_scales, mv_means = m.apply(
-                v, mv_z_hat, method=PFrameDMC.mv_params
-            )
-            mv_y_sym = quantize(mv_y, "symbols", means=mv_means)
-            mv_y_hat = mv_y_sym.astype(jnp.float32) + mv_means
-            mv_hat = m.apply(
-                v, mv_y_hat, ratio, q, method=PFrameDMC.mv_synthesis
-            )
-            context, _ = m.apply(
-                v, ref, dpb.get("ref_feature"), mv_hat,
-                method=PFrameDMC.motion_compensate,
-            )
-            y, z = m.apply(v, x, context, q, method=PFrameDMC.frame_analysis)
-            z_sym = quantize(z, "symbols", means=med_z)
-            z_hat = z_sym.astype(jnp.float32) + med_z
-            scales, means = m.apply(v, z_hat, method=PFrameDMC.frame_params)
-            y_sym = quantize(y, "symbols", means=means)
-            y_hat = y_sym.astype(jnp.float32) + means
-            x_hat, feature = m.apply(
-                v, y_hat, context, q, method=PFrameDMC.frame_synthesis
-            )
-            return {
-                "mv_z_sym": mv_z_sym,
-                "mv_y_sym": mv_y_sym,
-                "mv_y_idx": self.gaussian.build_indexes(mv_scales),
-                "z_sym": z_sym,
-                "y_sym": y_sym,
-                "y_idx": self.gaussian.build_indexes(scales),
-                "x_hat": jnp.clip(x_hat, 0.0, 1.0),
-                "feature": feature,
-            }
-
-        self._enc_graphs[ratio] = run
-        return run
+        ref = dpb["ref_frame"]
+        mv_y, mv_z = self._mv_analysis[ratio](self.variables, x, ref, q)
+        mv_z_sym = quantize(mv_z, "symbols", means=med_mv)
+        mv_z_hat = mv_z_sym.astype(jnp.float32) + med_mv
+        mv_scales, mv_means = self._mv_params(self.variables, mv_z_hat)
+        mv_y_sym = quantize(mv_y, "symbols", means=mv_means)
+        mv_y_hat = mv_y_sym.astype(jnp.float32) + mv_means
+        mv_hat = self._mv_synthesis(self.variables, mv_y_hat, ratio, q)
+        context, _ = self._compensate(
+            self.variables, ref, dpb.get("ref_feature"), mv_hat
+        )
+        y, z = self._frame_analysis(self.variables, x, context, q)
+        z_sym = quantize(z, "symbols", means=med_z)
+        z_hat = z_sym.astype(jnp.float32) + med_z
+        scales, means = self._frame_params(self.variables, z_hat)
+        y_sym = quantize(y, "symbols", means=means)
+        y_hat = y_sym.astype(jnp.float32) + means
+        x_hat, feature = self._frame_synthesis(
+            self.variables, y_hat, context, q
+        )
+        return {
+            "mv_z_sym": mv_z_sym,
+            "mv_y_sym": mv_y_sym,
+            "mv_y_idx": self.gaussian.build_indexes(mv_scales),
+            "z_sym": z_sym,
+            "y_sym": y_sym,
+            "y_idx": self.gaussian.build_indexes(scales),
+            "x_hat": jnp.clip(x_hat, 0.0, 1.0),
+            "feature": feature,
+        }
 
     def _pack_streams(self, out, ratio, q, z_shape):
         """Host side of encode: fetch symbols/indexes, rANS to bytes."""
@@ -531,7 +535,7 @@ class PFrameDMCCoder:
         immediately: the DPB feeds the next frame without waiting for the
         host rANS, which runs on a worker thread and overlaps the next
         frame's device transforms (SURVEY.md 7.2 step 9)."""
-        out = self._enc_graph(ratio)(self.variables, x, dpb, q)
+        out = self._enc_transforms(x, dpb, ratio, q)
         new_dpb = {
             "ref_frame": out["x_hat"],
             "ref_feature": out["feature"],

@@ -392,24 +392,8 @@ class FlexRateCoder:
         )
 
     def encode(self, x_before, x_current, x_after, n: int, l: float = 1.0):
-        from tpuvc.coder.container import BFrameBitstream
-
-        _, _, context = self._process(self.variables, x_before, x_after)
-        x_input = jnp.concatenate([context, x_current], axis=-1)
-        mv = self.flow_coder.compress(x_input, n, l)
-        x_comp = self._predict(x_before, x_after, mv["strings"], mv["shape"], n, l)
-        res = self.res_coder.compress(x_current - x_comp, n, l)
         # rate_id packs (n, round(l * 1000)) like the reference packs lambda.
-        rate_id = n * 100000 + int(round(l * 1000))
-        return BFrameBitstream(
-            rate_id=rate_id,
-            mv_shape=tuple(mv["shape"]),
-            res_shape=tuple(res["shape"]),
-            mv_y=mv["strings"][0],
-            mv_z=mv["strings"][1],
-            res_y=res["strings"][0],
-            res_z=res["strings"][1],
-        )
+        return self.encode_recon(x_before, x_current, x_after, n, l)[0]
 
     def encode_recon(self, x_before, x_current, x_after, n: int,
                      l: float = 1.0):

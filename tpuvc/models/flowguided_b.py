@@ -368,35 +368,9 @@ class FlowGuidedBCoder:
 
     def encode(self, xref1, xref2, xcur, s, scale1, scale2,
                down_ratio: int = 1):
-        from tpuvc.coder.container import VFrameBitstream
-
-        cond, offset_temp, flows, fref1, fref2 = self._context(
-            self.variables, xref1, xref2, scale1, scale2, down_ratio
-        )
-        fcur = self._features(self.variables, xcur)
-        inputs = tuple(
-            jnp.concatenate([c, f], axis=-1) for c, f in zip(cond, fcur)
-        )
-        off = self.offset_coder.compress(inputs, cond, offset_temp, s)
-        # Reconstruct compensation exactly as the decoder will.
-        x_comp = self._compensate(
-            cond, offset_temp, flows, fref1, fref2,
-            off["streams"], off["z_shape"], s,
-        )
-        res_temp = self._res_cond(self.variables, x_comp)
-        res_inputs = tuple(
-            jnp.concatenate([f, xc], axis=-1) for f, xc in zip(fcur, x_comp)
-        )
-        res = self.res_coder.compress(res_inputs, x_comp, res_temp, s)
-        assert off["z_shape"] == res["z_shape"]
-        return VFrameBitstream(
-            s_milli=int(round(float(s) * 1000)),
-            down_ratio=down_ratio,
-            scale1_centi=int(round(float(scale1) * 100)),
-            scale2_centi=int(round(float(scale2) * 100)),
-            z_shape=off["z_shape"],
-            streams=list(off["streams"]) + list(res["streams"]),
-        )
+        return self.encode_recon(
+            xref1, xref2, xcur, s, scale1, scale2, down_ratio
+        )[0]
 
     def encode_recon(self, xref1, xref2, xcur, s, scale1, scale2,
                      down_ratio: int = 1):

@@ -211,30 +211,7 @@ class LHBDCCoder:
         )
 
     def encode(self, x_before, x_current, x_after, rate_id: int = 0):
-        from tpuvc.coder.container import BFrameBitstream
-
-        flow_ba, flow_ab = self._motion_priors(
-            self.variables, x_before, x_after
-        )
-        flow_cb, flow_ca = self._current_flows(
-            self.variables, x_current, x_before, x_after
-        )
-        diff_flow = jnp.concatenate(
-            [flow_cb - flow_ab, flow_ca - flow_ba], axis=-1
-        )
-        mv = self.mv_coder.compress(diff_flow)
-        x_pred = self._predict(x_before, x_after, mv["strings"], mv["shape"])
-        residual = x_current - x_pred
-        res = self.res_coder.compress(residual)
-        return BFrameBitstream(
-            rate_id=rate_id,
-            mv_shape=tuple(mv["shape"]),
-            res_shape=tuple(res["shape"]),
-            mv_y=mv["strings"][0],
-            mv_z=mv["strings"][1],
-            res_y=res["strings"][0],
-            res_z=res["strings"][1],
-        )
+        return self.encode_recon(x_before, x_current, x_after, rate_id)[0]
 
     def encode_recon(self, x_before, x_current, x_after, rate_id: int = 0):
         """Encode + decoder-identical reconstruction in one pass.
