@@ -380,19 +380,21 @@ class CondELICCoder:
         gsize = self.module.groups[i]
         amask = np.asarray(anchor_mask(h, w)).astype(bool)
 
+        from tpuvc.coder.parallel import parallel_map
+
         def enc(sym, idx):
             if not per_sample:
                 return encode_with_indexes(
                     sym, idx, self.y_tables.cdfs, self.y_tables.cdf_lengths,
                     self.y_tables.offsets,
                 )
-            return [
-                encode_with_indexes(
+            return parallel_map(
+                lambda j: encode_with_indexes(
                     sym[j], idx[j], self.y_tables.cdfs,
                     self.y_tables.cdf_lengths, self.y_tables.offsets,
-                )
-                for j in range(b)
-            ]
+                ),
+                range(b),
+            )
 
         def dec(strs, idx):
             if not per_sample:
@@ -401,13 +403,13 @@ class CondELICCoder:
                     self.y_tables.offsets,
                 ).reshape(idx.shape)
             return np.stack(
-                [
-                    decode_with_indexes(
+                parallel_map(
+                    lambda j: decode_with_indexes(
                         strs[j], idx[j], self.y_tables.cdfs,
                         self.y_tables.cdf_lengths, self.y_tables.offsets,
-                    ).reshape(idx.shape[1:])
-                    for j in range(b)
-                ]
+                    ).reshape(idx.shape[1:]),
+                    range(b),
+                )
             )
 
         zeros = jnp.zeros((b, h, w, gsize), jnp.float32)
@@ -519,13 +521,15 @@ class CondELICCoder:
         z_idx = np.broadcast_to(
             np.arange(zc, dtype=np.int32), z_sym.shape[1:]
         )
-        z_strs = [
-            encode_with_indexes(
+        from tpuvc.coder.parallel import parallel_map
+
+        z_strs = parallel_map(
+            lambda j: encode_with_indexes(
                 z_sym[j], z_idx, self.z_tables.cdfs,
                 self.z_tables.cdf_lengths, self.z_tables.offsets,
-            )
-            for j in range(b)
-        ]
+            ),
+            range(b),
+        )
         z_hat = jnp.asarray(z_sym, jnp.float32) + med
         hyper = self._hyper(self.variables, z_hat, temporal_cond, s)
 
@@ -564,14 +568,16 @@ class CondELICCoder:
         zh, zw = z_shape
         zc = self.module.N
         z_idx = np.broadcast_to(np.arange(zc, dtype=np.int32), (zh, zw, zc))
+        from tpuvc.coder.parallel import parallel_map
+
         z_sym = np.stack(
-            [
-                decode_with_indexes(
+            parallel_map(
+                lambda frame: decode_with_indexes(
                     frame[0], z_idx, self.z_tables.cdfs,
                     self.z_tables.cdf_lengths, self.z_tables.offsets,
-                ).reshape(zh, zw, zc)
-                for frame in per_frame_streams
-            ]
+                ).reshape(zh, zw, zc),
+                per_frame_streams,
+            )
         )
         z_hat = jnp.asarray(z_sym, jnp.float32) + jnp.asarray(
             self.z_tables.medians

@@ -220,8 +220,8 @@ class HyperpriorCoder:
         scales, means = self._entropy_params(self.variables, z_hat)
         y_idx = np.asarray(self.gaussian.build_indexes(scales))
         y_sym = np.asarray(quantize(y, "symbols", means=means))
-        strings = []
-        for b in range(x.shape[0]):
+
+        def pack(b):
             z_str = encode_with_indexes(
                 z_sym[b], z_idx, self.z_tables.cdfs,
                 self.z_tables.cdf_lengths, self.z_tables.offsets,
@@ -230,7 +230,11 @@ class HyperpriorCoder:
                 y_sym[b], y_idx[b], self.y_tables.cdfs,
                 self.y_tables.cdf_lengths, self.y_tables.offsets,
             )
-            strings.append((y_str, z_str))
+            return (y_str, z_str)
+
+        from tpuvc.coder.parallel import parallel_map
+
+        strings = parallel_map(pack, range(x.shape[0]))
         return {
             "strings": strings,
             "shape": z.shape[1:3],
@@ -243,31 +247,32 @@ class HyperpriorCoder:
         compress_batch's graph shapes). Returns y_hat (B, ...)."""
         from tpuvc.coder import decode_with_indexes
 
-        batch = len(strings)
+        from tpuvc.coder.parallel import parallel_map
+
         zh, zw = shape
         zc = self.module.N
         z_idx = np.broadcast_to(np.arange(zc, dtype=np.int32), (zh, zw, zc))
         z_sym = np.stack(
-            [
-                decode_with_indexes(
-                    z_str, z_idx, self.z_tables.cdfs,
+            parallel_map(
+                lambda s: decode_with_indexes(
+                    s[1], z_idx, self.z_tables.cdfs,
                     self.z_tables.cdf_lengths, self.z_tables.offsets,
-                ).reshape(zh, zw, zc)
-                for _, z_str in strings
-            ]
+                ).reshape(zh, zw, zc),
+                strings,
+            )
         )
         med = jnp.asarray(self.z_tables.medians)
         z_hat = jnp.asarray(z_sym, jnp.float32) + med
         scales, means = self._entropy_params(self.variables, z_hat)
         y_idx = np.asarray(self.gaussian.build_indexes(scales))
         y_sym = np.stack(
-            [
-                decode_with_indexes(
-                    y_str, y_idx[b], self.y_tables.cdfs,
+            parallel_map(
+                lambda bs: decode_with_indexes(
+                    bs[1][0], y_idx[bs[0]], self.y_tables.cdfs,
                     self.y_tables.cdf_lengths, self.y_tables.offsets,
-                ).reshape(y_idx.shape[1:])
-                for b, (y_str, _) in enumerate(strings)
-            ]
+                ).reshape(y_idx.shape[1:]),
+                enumerate(strings),
+            )
         )
         return jnp.asarray(y_sym, jnp.float32) + means
 
