@@ -111,3 +111,28 @@ class TestLevelBatchCoding:
         np.testing.assert_array_equal(np.asarray(recon), np.asarray(x_hat))
         # Streams are per-frame: each must also differ (different content).
         assert bits[0].res_y != bits[1].res_y
+
+
+class TestMixedPrecisionCoding:
+    """bf16 layer compute is symmetric: decode traced under the same
+    policy reproduces the encoder's reconstruction bit-for-bit (the
+    VSequenceBitstream dtype header contract)."""
+
+    def test_bf16_round_trip(self, rng):
+        from tpuvc.ops.precision import mixed_precision
+
+        model = LHBDC(N=32)
+        x0 = jnp.zeros((1, 128, 128, 3), jnp.float32)
+        variables = model.init(jax.random.key(1), x0, x0, x0, "dequantize")
+        c = LHBDCCoder(model, variables)
+        base = rng.random((1, 128, 128, 3), dtype=np.float32)
+        drift = 0.03 * rng.standard_normal((1, 128, 128, 3)).astype(np.float32)
+        xb = jnp.asarray(base)
+        xc = jnp.clip(jnp.asarray(base + 0.5 * drift), 0, 1)
+        xa = jnp.clip(jnp.asarray(base + drift), 0, 1)
+
+        with mixed_precision():
+            bits, recon = c.encode_recon(xb, xc, xa, rate_id=845)
+            parsed = BFrameBitstream.deserialize(bits.serialize())
+            x_hat = c.decode(xb, xa, parsed)
+        np.testing.assert_array_equal(np.asarray(recon), np.asarray(x_hat))

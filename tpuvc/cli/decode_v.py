@@ -59,6 +59,7 @@ def _decode_level_batched(args, seq, coder, intra_coder, originals,
     from tpuvc.data.frames import save_png
     from tpuvc.eval.metrics import psnr_uint8
     from tpuvc.gop.order import gop_coding_table
+    from tpuvc.ops.precision import policy_from_name
 
     h, w, n = seq.height, seq.width, seq.n_frames
     gop = seq.gop
@@ -94,27 +95,29 @@ def _decode_level_batched(args, seq, coder, intra_coder, originals,
             decoded_host[idx] = host[i, :h, :w]
 
     chunk: list = []
-    for ftyp, idx, blob in seq.frames:
-        if ftyp == "I":
-            flush(chunk)
-            chunk = []
-            bits = IFrameBitstream.deserialize(blob)
-            dec = intra_coder.decompress(bits.to_strings(), bits.z_shape)
-            decoded[idx] = jnp.clip(dec, 0.0, 1.0)
-            decoded_host[idx] = np.asarray(decoded[idx][0, :h, :w])
-            continue
-        same_chunk = (
-            chunk
-            and len(chunk) < (seq.max_batch or 8)
-            and (idx // gop) == (chunk[0][0] // gop)
-            and level_of[idx - (idx // gop) * gop]
-            == level_of[chunk[0][0] - (chunk[0][0] // gop) * gop]
-        )
-        if not same_chunk:
-            flush(chunk)
-            chunk = []
-        chunk.append((idx, blob))
-    flush(chunk)
+    # Decode graphs trace under the encoder's recorded compute policy.
+    with policy_from_name("bfloat16" if seq.dtype == 1 else "float32"):
+        for ftyp, idx, blob in seq.frames:
+            if ftyp == "I":
+                flush(chunk)
+                chunk = []
+                bits = IFrameBitstream.deserialize(blob)
+                dec = intra_coder.decompress(bits.to_strings(), bits.z_shape)
+                decoded[idx] = jnp.clip(dec, 0.0, 1.0)
+                decoded_host[idx] = np.asarray(decoded[idx][0, :h, :w])
+                continue
+            same_chunk = (
+                chunk
+                and len(chunk) < (seq.max_batch or 8)
+                and (idx // gop) == (chunk[0][0] // gop)
+                and level_of[idx - (idx // gop) * gop]
+                == level_of[chunk[0][0] - (chunk[0][0] // gop) * gop]
+            )
+            if not same_chunk:
+                flush(chunk)
+                chunk = []
+            chunk.append((idx, blob))
+        flush(chunk)
 
     os.makedirs(args.out_dir, exist_ok=True)
     psnrs = []
@@ -155,6 +158,7 @@ def main(argv=None):
     from tpuvc.data.frames import save_png
     from tpuvc.eval.metrics import psnr_uint8
     from tpuvc.gop.dpb import DecodedPictureBuffer
+    from tpuvc.ops.precision import policy_from_name
 
     with open(args.bin, "rb") as f:
         seq = VSequenceBitstream.deserialize(f.read())
@@ -189,24 +193,27 @@ def main(argv=None):
     # bounded for 600-frame 1080p sequences.
     decoded_host: dict[int, np.ndarray] = {}
     t0 = time.perf_counter()
-    for ftyp, idx, blob in seq.frames:
-        if ftyp == "I":
-            bits = IFrameBitstream.deserialize(blob)
-            dec = intra_coder.decompress(bits.to_strings(), bits.z_shape)
-        else:
-            ref1, ref2, _, _ = dpb.select_references(idx)
-            dec = coder.decode(ref1, ref2, frame_cls.deserialize(blob))
-        dec = jnp.clip(dec, 0.0, 1.0)
-        dpb.add(dec, idx)
-        decoded_host[idx] = np.asarray(dec[0, :h, :w])
-        line = f"frame {idx:4d} {ftyp} {len(blob)} bytes"
-        if originals is not None:
-            p = psnr_uint8(
-                jnp.asarray(decoded_host[idx]),
-                jnp.asarray(originals[idx])[0, :h, :w],
-            )
-            line += f" psnr {float(p):.2f}"
-        print(line)
+    # Trace decode graphs under the encoder's recorded compute policy —
+    # the re-derived entropy parameters must match numerically.
+    with policy_from_name("bfloat16" if seq.dtype == 1 else "float32"):
+        for ftyp, idx, blob in seq.frames:
+            if ftyp == "I":
+                bits = IFrameBitstream.deserialize(blob)
+                dec = intra_coder.decompress(bits.to_strings(), bits.z_shape)
+            else:
+                ref1, ref2, _, _ = dpb.select_references(idx)
+                dec = coder.decode(ref1, ref2, frame_cls.deserialize(blob))
+            dec = jnp.clip(dec, 0.0, 1.0)
+            dpb.add(dec, idx)
+            decoded_host[idx] = np.asarray(dec[0, :h, :w])
+            line = f"frame {idx:4d} {ftyp} {len(blob)} bytes"
+            if originals is not None:
+                p = psnr_uint8(
+                    jnp.asarray(decoded_host[idx]),
+                    jnp.asarray(originals[idx])[0, :h, :w],
+                )
+                line += f" psnr {float(p):.2f}"
+            print(line)
 
     os.makedirs(args.out_dir, exist_ok=True)
     for i in range(n):

@@ -65,6 +65,11 @@ def build_parser():
                         "batch shapes)")
     p.add_argument("--max_batch", type=int, default=8,
                    help="per-forward batch cap for --level_batched")
+    p.add_argument("--compute_dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="layer compute policy (tpuvc.ops.precision); "
+                        "recorded in the stream header so decode_v traces "
+                        "its graphs under the same numerics")
     p.add_argument("--weights", default="pretrained_weights")
     p.add_argument("--weights_intra", default="elic.msgpack")
     p.add_argument("--init", choices=["load", "random"], default="load")
@@ -182,7 +187,9 @@ def _encode_level_batched(args, frames, coder, intra_coder):
         anchors[idx] = dec
         records.append(("I", idx, IFrameBitstream.from_compress(out).serialize()))
 
-    for g0 in range(0, n - 1, gop):
+    from tpuvc.ops.precision import policy_from_name
+
+    def code_window(g0):
         for b in (g0, g0 + gop):
             if b not in anchors:
                 intra(b)
@@ -230,9 +237,16 @@ def _encode_level_batched(args, frames, coder, intra_coder):
                     records.append(("B", g0 + f, bits[i].serialize()))
         print(f"GOP {g0}..{g0 + gop} coded")
 
+    # Policy wraps the jit call sites (graphs trace under it); the header
+    # records it so decode_v traces under the same numerics.
+    with policy_from_name(args.compute_dtype):
+        for g0 in range(0, n - 1, gop):
+            code_window(g0)
+
     seq = VSequenceBitstream(
         family=args.family, width=w, height=h, gop=gop, n_frames=n,
         frames=records, mode=1, max_batch=args.max_batch,
+        dtype=1 if args.compute_dtype == "bfloat16" else 0,
     )
     blob = seq.serialize()
     with open(args.bin, "wb") as f:
@@ -275,40 +289,49 @@ def main(argv=None):
             )
         return _encode_level_batched(args, frames, coder, intra_coder)
 
+    from tpuvc.ops.precision import policy_from_name
+
     order, typ = sequence_schedule(args.gop, n)
     dpb = DecodedPictureBuffer()
     blobs: list = []
     pred_cache: dict = {}
     t0 = time.perf_counter()
-    for idx in order:
-        x, _ = pad_to_multiple(jnp.asarray(frames[idx]), 64)
-        if typ[idx] == "I":
-            out = intra_coder.compress(x)
-            dec = intra_coder.synthesize(out["y_hat"])
-            blob = IFrameBitstream.from_compress(out).serialize()
-            ftyp = "I"
-        else:
-            ref1, ref2, o1, o2 = dpb.select_references(idx)
-            # encode_recon reconstructs from the decoder-identical quantized
-            # latents, so the buffered frame is exactly what decode_v will
-            # buffer — without a second full decode pass.
-            bits, dec = code_b_frame(
-                coder, args.family, args, ref1, ref2, x, idx, o1, o2,
-                pred_cache=pred_cache,
+    # The policy wraps the jit CALL SITES: coder graphs trace under it, so
+    # bf16 layer compute bakes into every compiled program (and the header
+    # tells decode_v to trace under the same policy).
+    with policy_from_name(args.compute_dtype):
+        for idx in order:
+            x, _ = pad_to_multiple(jnp.asarray(frames[idx]), 64)
+            if typ[idx] == "I":
+                out = intra_coder.compress(x)
+                dec = intra_coder.synthesize(out["y_hat"])
+                blob = IFrameBitstream.from_compress(out).serialize()
+                ftyp = "I"
+            else:
+                ref1, ref2, o1, o2 = dpb.select_references(idx)
+                # encode_recon reconstructs from the decoder-identical
+                # quantized latents, so the buffered frame is exactly what
+                # decode_v will buffer — without a second full decode pass.
+                bits, dec = code_b_frame(
+                    coder, args.family, args, ref1, ref2, x, idx, o1, o2,
+                    pred_cache=pred_cache,
+                )
+                blob = bits.serialize()
+                ftyp = "B"
+            dec = jnp.clip(dec, 0.0, 1.0)
+            dpb.add(dec, idx)
+            blobs.append((idx, ftyp, blob))
+            p = psnr_uint8(
+                dec[:, :h, :w], jnp.asarray(frames[idx])[:, :h, :w]
             )
-            blob = bits.serialize()
-            ftyp = "B"
-        dec = jnp.clip(dec, 0.0, 1.0)
-        dpb.add(dec, idx)
-        blobs.append((idx, ftyp, blob))
-        p = psnr_uint8(dec[:, :h, :w], jnp.asarray(frames[idx])[:, :h, :w])
-        print(
-            f"frame {idx:4d} {ftyp} {len(blob)} bytes "
-            f"({8 * len(blob) / (h * w):.4f} bpp) psnr {float(p):.2f}"
-        )
+            print(
+                f"frame {idx:4d} {ftyp} {len(blob)} bytes "
+                f"({8 * len(blob) / (h * w):.4f} bpp) psnr {float(p):.2f}"
+            )
     seq = VSequenceBitstream(
         family=args.family, width=w, height=h, gop=args.gop, n_frames=n,
         frames=[(t, i, b) for i, t, b in blobs],
+        dtype=1 if args.compute_dtype == "bfloat16" else 0,
     )
     blob = seq.serialize()
     with open(args.bin, "wb") as f:

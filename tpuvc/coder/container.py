@@ -333,9 +333,14 @@ class VSequenceBitstream:
     re-estimates flow, decode_B.py:65-77) — a shape mismatch would corrupt
     the rANS decode.
 
+    ``dtype`` (0=float32, 1=bfloat16 mixed precision) records the layer
+    compute policy active during encoding; the decoder traces its graphs
+    under the same policy — like the batch shapes, the numerics must match
+    for the re-derived entropy parameters to stay bit-identical.
+
     Layout: b"TPV1" | uint8 family | uint16 width | uint16 height |
     uint16 gop | uint16 n_frames | uint8 mode | uint8 max_batch |
-    per frame in coding order:
+    uint8 dtype | per frame in coding order:
     uint8 type (0=I, 1=B) | uint16 display_idx | uint32 length | blob.
     width/height are the unpadded display size.
     """
@@ -348,9 +353,10 @@ class VSequenceBitstream:
     frames: list = field(default_factory=list)  # [(type_str, idx, blob)]
     mode: int = 0
     max_batch: int = 0
+    dtype: int = 0
 
     MAGIC = b"TPV1"
-    HEADER = "<4sBHHHHBB"
+    HEADER = "<4sBHHHHBBB"
 
     @property
     def num_bytes(self) -> int:
@@ -363,7 +369,7 @@ class VSequenceBitstream:
             struct.pack(
                 self.HEADER, self.MAGIC, B_FAMILY_IDS[self.family],
                 self.width, self.height, self.gop, self.n_frames,
-                self.mode, self.max_batch,
+                self.mode, self.max_batch, self.dtype,
             )
         ]
         for typ, idx, blob in self.frames:
@@ -376,7 +382,7 @@ class VSequenceBitstream:
     @classmethod
     def deserialize(cls, blob: bytes) -> "VSequenceBitstream":
         hsize = struct.calcsize(cls.HEADER)
-        magic, fam, w, h, gop, n, mode, mb = struct.unpack(
+        magic, fam, w, h, gop, n, mode, mb, dtype = struct.unpack(
             cls.HEADER, blob[:hsize]
         )
         if magic != cls.MAGIC:
@@ -402,5 +408,5 @@ class VSequenceBitstream:
             raise ValueError(f"{len(blob) - off} trailing bytes")
         return cls(
             family=B_FAMILY_NAMES[fam], width=w, height=h, gop=gop,
-            n_frames=n, frames=frames, mode=mode, max_batch=mb,
+            n_frames=n, frames=frames, mode=mode, max_batch=mb, dtype=dtype,
         )
