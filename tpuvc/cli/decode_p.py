@@ -53,7 +53,7 @@ def main(argv=None):
         PSequenceBitstream,
     )
     from tpuvc.data.frames import save_png
-    from tpuvc.eval.metrics import psnr_uint8
+    from tpuvc.eval.metrics import psnr_uint8_np
     from tpuvc.models.elic import ELICCoder
     from tpuvc.models.dmc import PFrameDMCCoder
 
@@ -95,8 +95,8 @@ def main(argv=None):
         save_png(path, img_u8)
         line = f"frame {i:4d} {typ} ({8 * len(blob) / (h * w):.4f} bpp)"
         if originals is not None:
-            ref = np.asarray(originals[i])[0, :h, :w]
-            p = float(psnr_uint8(ref, img))
+            ref = originals.u8(i)[0, :h, :w]
+            p = psnr_uint8_np(ref, img)
             psnrs.append(p)
             line += f" psnr {p:.2f} dB"
         print(line)

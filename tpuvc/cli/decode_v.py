@@ -57,7 +57,7 @@ def _decode_level_batched(args, seq, coder, intra_coder, originals,
 
     from tpuvc.coder.container import IFrameBitstream
     from tpuvc.data.frames import save_png
-    from tpuvc.eval.metrics import psnr_uint8
+    from tpuvc.eval.metrics import psnr_uint8_np
     from tpuvc.gop.order import gop_coding_table
     from tpuvc.ops.precision import policy_from_name
 
@@ -126,8 +126,8 @@ def _decode_level_batched(args, seq, coder, intra_coder, originals,
         img_u8 = np.clip(np.rint(img * 255.0), 0, 255).astype(np.uint8)
         save_png(os.path.join(args.out_dir, f"frame_{i:05d}.png"), img_u8)
         if originals is not None:
-            ref = np.asarray(jnp.asarray(originals[i]))[0, :h, :w]
-            psnrs.append(float(psnr_uint8(jnp.asarray(ref), jnp.asarray(img))))
+            ref = originals.u8(i)[0, :h, :w]
+            psnrs.append(psnr_uint8_np(ref, img))
     msg = (
         f"decoded {n} frames (level-batched) to {args.out_dir} "
         f"in {time.perf_counter() - t0:.1f}s"
@@ -156,7 +156,7 @@ def main(argv=None):
         VSequenceBitstream,
     )
     from tpuvc.data.frames import save_png
-    from tpuvc.eval.metrics import psnr_uint8
+    from tpuvc.eval.metrics import psnr_uint8_np
     from tpuvc.gop.dpb import DecodedPictureBuffer
     from tpuvc.ops.precision import policy_from_name
 
@@ -208,11 +208,10 @@ def main(argv=None):
             decoded_host[idx] = np.asarray(dec[0, :h, :w])
             line = f"frame {idx:4d} {ftyp} {len(blob)} bytes"
             if originals is not None:
-                p = psnr_uint8(
-                    jnp.asarray(decoded_host[idx]),
-                    jnp.asarray(originals[idx])[0, :h, :w],
+                p = psnr_uint8_np(
+                    originals.u8(idx)[0, :h, :w], decoded_host[idx]
                 )
-                line += f" psnr {float(p):.2f}"
+                line += f" psnr {p:.2f}"
             print(line)
 
     os.makedirs(args.out_dir, exist_ok=True)

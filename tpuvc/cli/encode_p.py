@@ -147,8 +147,10 @@ def main(argv=None):
     dpb = None
     entries: list = []  # (type, blob | Future[PFrameBitstream])
     t0 = time.perf_counter()
+    from tpuvc.data.uvg import device_frame
+
     for i in range(len(frames)):
-        x, _ = pad_to_multiple(jnp.asarray(frames[i]), 64)
+        x = device_frame(frames.u8(i))
         if i % args.intra_period == 0:
             out = intra_coder.compress(x)
             dec = jnp.clip(intra_coder.synthesize(out["y_hat"]), 0.0, 1.0)

@@ -165,8 +165,6 @@ def _encode_level_batched(args, frames, coder, intra_coder):
 
     from tpuvc.coder.container import IFrameBitstream, VSequenceBitstream
     from tpuvc.gop.order import gop_coding_table
-    from tpuvc.ops.pad import pad_to_multiple
-
     h, w = frames.size
     n = len(frames)
     gop = args.gop
@@ -180,8 +178,10 @@ def _encode_level_batched(args, frames, coder, intra_coder):
     anchors: dict = {}
     t0 = time.perf_counter()
 
+    from tpuvc.data.uvg import device_frame
+
     def intra(idx):
-        x, _ = pad_to_multiple(jnp.asarray(frames[idx]), 64)
+        x = device_frame(frames.u8(idx))
         out = intra_coder.compress(x)
         dec = jnp.clip(intra_coder.synthesize(out["y_hat"]), 0.0, 1.0)
         anchors[idx] = dec
@@ -204,10 +204,7 @@ def _encode_level_batched(args, frames, coder, intra_coder):
                 xb = jnp.concatenate([decoded[a] for a, _ in refs], axis=0)
                 xa = jnp.concatenate([decoded[b] for _, b in refs], axis=0)
                 xc = jnp.concatenate(
-                    [
-                        pad_to_multiple(jnp.asarray(frames[g0 + f]), 64)[0]
-                        for f in chunk
-                    ],
+                    [device_frame(frames.u8(g0 + f)) for f in chunk],
                     axis=0,
                 )
                 if args.family == "lhbdc":
@@ -272,7 +269,6 @@ def main(argv=None):
     from tpuvc.eval.metrics import psnr_uint8
     from tpuvc.gop.dpb import DecodedPictureBuffer
     from tpuvc.gop.order import sequence_schedule
-    from tpuvc.ops.pad import pad_to_multiple
 
     frames = load_frames(args)
     h, w = frames.size
@@ -299,9 +295,11 @@ def main(argv=None):
     # The policy wraps the jit CALL SITES: coder graphs trace under it, so
     # bf16 layer compute bakes into every compiled program (and the header
     # tells decode_v to trace under the same policy).
+    from tpuvc.data.uvg import device_frame
+
     with policy_from_name(args.compute_dtype):
         for idx in order:
-            x, _ = pad_to_multiple(jnp.asarray(frames[idx]), 64)
+            x = device_frame(frames.u8(idx))
             if typ[idx] == "I":
                 out = intra_coder.compress(x)
                 dec = intra_coder.synthesize(out["y_hat"])
@@ -321,9 +319,7 @@ def main(argv=None):
             dec = jnp.clip(dec, 0.0, 1.0)
             dpb.add(dec, idx)
             blobs.append((idx, ftyp, blob))
-            p = psnr_uint8(
-                dec[:, :h, :w], jnp.asarray(frames[idx])[:, :h, :w]
-            )
+            p = psnr_uint8(dec[:, :h, :w], x[:, :h, :w])
             print(
                 f"frame {idx:4d} {ftyp} {len(blob)} bytes "
                 f"({8 * len(blob) / (h * w):.4f} bpp) psnr {float(p):.2f}"

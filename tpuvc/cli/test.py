@@ -437,12 +437,15 @@ def _run_levels(cfg, intra_pack, inter_pack, info):
                     cfg.dataset.gop, len(frames)
                 )
 
+            from tpuvc.data.uvg import device_frame
+
             class _Device:
                 """Lazy host->device frame access: 600 x 1080p frames must
-                not sit in HBM at once (the DPB holds the decoded ones)."""
+                not sit in HBM at once (the DPB holds the decoded ones);
+                uploads ride the uint8 view (4x less relay traffic)."""
 
                 def __getitem__(self, i):
-                    return jnp.asarray(frames[i])
+                    return device_frame(frames.u8(i))
 
             if cfg.level_batched:
                 from tpuvc.eval.runner import eval_sequence_batched
@@ -500,9 +503,11 @@ def _run_dmc_level(cfg, intra_pack, inter_pack, level, info):
                 os.path.join(cfg.dataset.root, seq), n_frames
             )
 
+        from tpuvc.data.uvg import device_frame
+
         class _Device:
             def __getitem__(self, i):
-                return jnp.asarray(frames[i])
+                return device_frame(frames.u8(i))
 
         diag = PerFrameDiagnostics() if cfg.dmc_diag_csv else None
         psnrs, sizes = eval_sequence_lowdelay(

@@ -31,6 +31,7 @@ def quantize(
       'ste'        — straight-through round of (x - means) + means.
       'dequantize' — hard round of (x - means) + means (inference).
       'symbols'    — integer symbols round(x - means) (for the coder).
+      'symbols16'  — same, int16-clamped (cheap device->host fetch).
     """
     if mode == "noise":
         assert rng is not None, "noise quantization needs an rng key"
@@ -39,6 +40,14 @@ def quantize(
     centered = x if means is None else x - means
     if mode == "symbols":
         return jnp.round(centered).astype(jnp.int32)
+    if mode == "symbols16":
+        # Int16 coding symbols: halves the device->host fetch (the coders'
+        # dominant transfer through a slow link). The clamp only binds on
+        # degenerate/untrained statistics; reconstruction uses the SAME
+        # clamped symbol on both encoder and decoder, so round trips stay
+        # bit-exact regardless.
+        s = jnp.round(centered)
+        return jnp.clip(s, -32000, 32000).astype(jnp.int16)
     if mode == "ste":
         q = ste_round(centered)
     elif mode == "dequantize":

@@ -35,6 +35,20 @@ def psnr_uint8(ref: jnp.ndarray, dec: jnp.ndarray) -> jnp.ndarray:
     return psnr(m, data_range=255.0)
 
 
+def psnr_uint8_np(ref: np.ndarray, dec: np.ndarray) -> float:
+    """Host (numpy) twin of psnr_uint8 for decode-side checks where both
+    frames already live on host — avoids two uploads through the relay.
+    Accepts [0,1] floats or uint8 arrays; same rounding protocol."""
+
+    def r(x):
+        if x.dtype == np.uint8:
+            return x.astype(np.float64)
+        return np.round(np.clip(x, 0.0, 1.0) * 255.0).astype(np.float64)
+
+    m = np.mean((r(ref) - r(dec)) ** 2)
+    return float(10.0 * np.log10(255.0**2 / max(m, 1e-12)))
+
+
 def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> np.ndarray:
     x = np.arange(size) - (size - 1) / 2.0
     g = np.exp(-(x**2) / (2 * sigma**2))

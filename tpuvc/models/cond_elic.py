@@ -374,13 +374,15 @@ class CondELICCoder:
         per-sample string lists.
         """
         from tpuvc.coder import decode_with_indexes, encode_with_indexes
+        from tpuvc.coder.parallel import parallel_map
+        from tpuvc.entropy.quant import quantize
         from tpuvc.ops.checkerboard import anchor_mask
 
         b, h, w = hyper.shape[0], hyper.shape[1], hyper.shape[2]
         gsize = self.module.groups[i]
         amask = np.asarray(anchor_mask(h, w)).astype(bool)
-
-        from tpuvc.coder.parallel import parallel_map
+        ai, aj = np.nonzero(amask)
+        ni, nj = np.nonzero(~amask)
 
         def enc(sym, idx):
             if not per_sample:
@@ -412,40 +414,39 @@ class CondELICCoder:
                 )
             )
 
-        zeros = jnp.zeros((b, h, w, gsize), jnp.float32)
-        scales_a, means_a = self._group_params[i](
-            self.variables, hyper, prev, zeros
-        )
-        idx_a = np.asarray(self.gaussian.build_indexes(scales_a))[:, amask]
-        means_a_np = np.asarray(means_a)[:, amask]
-        if streams is None:
-            y_np = np.asarray(curr_y)[:, amask]
-            sym_a = np.rint(y_np - means_a_np).astype(np.int32)
-            str_a = enc(sym_a, idx_a)
-        else:
-            sym_a = dec(streams[0], idx_a)
-            str_a = streams[0]
-        anchor_full = np.zeros((b, h, w, gsize), np.float32)
-        anchor_full[:, amask] = sym_a + means_a_np
-        anchor_hat = jnp.asarray(anchor_full)
+        # Only int16 symbols and uint8 indexes cross the host boundary;
+        # the partial reconstruction assembles on device (see
+        # ELICCoder._code_group — streams stay byte-identical).
+        def phase(prev_hat, idxs, stream):
+            pi, pj = idxs
+            scales, means = self._group_params[i](
+                self.variables, hyper, prev, prev_hat
+            )
+            idx = np.asarray(
+                self.gaussian.build_indexes(scales)[:, pi, pj]
+                .astype(jnp.uint8)
+            )
+            if stream is None:
+                sym = np.asarray(
+                    quantize(curr_y, "symbols16", means=means)[:, pi, pj]
+                )
+                out = enc(sym, idx)
+            else:
+                sym = dec(stream, idx).astype(np.int16)
+                out = stream
+            vals = jnp.asarray(sym).astype(jnp.float32) + means[:, pi, pj]
+            return vals, out
 
-        scales_n, means_n = self._group_params[i](
-            self.variables, hyper, prev, anchor_hat
+        zeros = jnp.zeros((b, h, w, gsize), jnp.float32)
+        vals_a, str_a = phase(
+            zeros, (ai, aj), None if streams is None else streams[0]
         )
-        nmask = ~amask
-        idx_n = np.asarray(self.gaussian.build_indexes(scales_n))[:, nmask]
-        means_n_np = np.asarray(means_n)[:, nmask]
-        if streams is None:
-            y_np = np.asarray(curr_y)[:, nmask]
-            sym_n = np.rint(y_np - means_n_np).astype(np.int32)
-            str_n = enc(sym_n, idx_n)
-            out_streams = [str_a, str_n]
-        else:
-            sym_n = dec(streams[1], idx_n)
-            out_streams = streams
-        full = np.asarray(anchor_full)
-        full[:, nmask] = sym_n + means_n_np
-        return jnp.asarray(full), out_streams
+        anchor_hat = zeros.at[:, ai, aj].set(vals_a)
+        vals_n, str_n = phase(
+            anchor_hat, (ni, nj), None if streams is None else streams[1]
+        )
+        y_hat = anchor_hat.at[:, ni, nj].set(vals_n)
+        return y_hat, [str_a, str_n]
 
     def _code_z(self, z, z_string=None, z_shape=None, batch=1):
         from tpuvc.coder import decode_with_indexes, encode_with_indexes

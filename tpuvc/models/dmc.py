@@ -468,20 +468,20 @@ class PFrameDMCCoder:
 
         ref = dpb["ref_frame"]
         mv_y, mv_z = self._mv_analysis[ratio](self.variables, x, ref, q)
-        mv_z_sym = quantize(mv_z, "symbols", means=med_mv)
+        mv_z_sym = quantize(mv_z, "symbols16", means=med_mv)
         mv_z_hat = mv_z_sym.astype(jnp.float32) + med_mv
         mv_scales, mv_means = self._mv_params(self.variables, mv_z_hat)
-        mv_y_sym = quantize(mv_y, "symbols", means=mv_means)
+        mv_y_sym = quantize(mv_y, "symbols16", means=mv_means)
         mv_y_hat = mv_y_sym.astype(jnp.float32) + mv_means
         mv_hat = self._mv_synthesis(self.variables, mv_y_hat, ratio, q)
         context, _ = self._compensate(
             self.variables, ref, dpb.get("ref_feature"), mv_hat
         )
         y, z = self._frame_analysis(self.variables, x, context, q)
-        z_sym = quantize(z, "symbols", means=med_z)
+        z_sym = quantize(z, "symbols16", means=med_z)
         z_hat = z_sym.astype(jnp.float32) + med_z
         scales, means = self._frame_params(self.variables, z_hat)
-        y_sym = quantize(y, "symbols", means=means)
+        y_sym = quantize(y, "symbols16", means=means)
         y_hat = y_sym.astype(jnp.float32) + means
         x_hat, feature = self._frame_synthesis(
             self.variables, y_hat, context, q
@@ -489,10 +489,10 @@ class PFrameDMCCoder:
         return {
             "mv_z_sym": mv_z_sym,
             "mv_y_sym": mv_y_sym,
-            "mv_y_idx": self.gaussian.build_indexes(mv_scales),
+            "mv_y_idx": self.gaussian.build_indexes(mv_scales).astype(jnp.uint8),
             "z_sym": z_sym,
             "y_sym": y_sym,
-            "y_idx": self.gaussian.build_indexes(scales),
+            "y_idx": self.gaussian.build_indexes(scales).astype(jnp.uint8),
             "x_hat": jnp.clip(x_hat, 0.0, 1.0),
             "feature": feature,
         }

@@ -273,59 +273,62 @@ class ELICCoder:
 
     def _code_group(self, i, curr_y, hyper, prev, mode, streams=None):
         """Shared enc/dec loop body. If ``streams`` is None: encode from
-        curr_y, return (y_hat, [anchor_str, nonanchor_str]). Else decode."""
+        curr_y, return (y_hat, [anchor_str, nonanchor_str]). Else decode.
+
+        Float tensors never cross the host boundary: only int16 symbols
+        and uint8 scale indexes move (the D2H/H2D link is the bottleneck
+        of real coding); the partially-reconstructed latent is scatter-
+        assembled on device. Streams are byte-identical to the previous
+        host-assembled formulation (same rounding, same values).
+        """
         from tpuvc.coder import decode_with_indexes, encode_with_indexes
+        from tpuvc.entropy.quant import quantize
 
         b, h, w = hyper.shape[0], hyper.shape[1], hyper.shape[2]
         gsize = self.module.groups[i]
         amask = np.asarray(anchor_mask(h, w)).astype(bool)
+        ai, aj = np.nonzero(amask)
+        ni, nj = np.nonzero(~amask)
+
+        def phase(ys, prev_hat, idxs, stream):
+            pi, pj = idxs
+            scales, means = self._group_params[i](
+                self.variables, hyper, prev, prev_hat
+            )
+            idx = np.asarray(
+                self.gaussian.build_indexes(scales)[:, pi, pj]
+                .astype(jnp.uint8)
+            )
+            if stream is None:
+                sym = np.asarray(
+                    quantize(ys, "symbols16", means=means)[:, pi, pj]
+                )
+                out = encode_with_indexes(
+                    sym, idx, self.y_tables.cdfs, self.y_tables.cdf_lengths,
+                    self.y_tables.offsets,
+                )
+            else:
+                sym = decode_with_indexes(
+                    stream, idx, self.y_tables.cdfs,
+                    self.y_tables.cdf_lengths, self.y_tables.offsets,
+                ).reshape(idx.shape).astype(np.int16)
+                out = stream
+            vals = (
+                jnp.asarray(sym).astype(jnp.float32) + means[:, pi, pj]
+            )
+            return vals, out
 
         zeros = jnp.zeros((b, h, w, gsize), jnp.float32)
-        scales_a, means_a = self._group_params[i](
-            self.variables, hyper, prev, zeros
+        vals_a, str_a = phase(
+            curr_y, zeros, (ai, aj), None if streams is None else streams[0]
         )
-        idx_a = np.asarray(self.gaussian.build_indexes(scales_a))[:, amask]
-        means_a_np = np.asarray(means_a)[:, amask]
-        if streams is None:
-            y_np = np.asarray(curr_y)[:, amask]
-            sym_a = np.rint(y_np - means_a_np).astype(np.int32)
-            str_a = encode_with_indexes(
-                sym_a, idx_a, self.y_tables.cdfs, self.y_tables.cdf_lengths,
-                self.y_tables.offsets,
-            )
-        else:
-            sym_a = decode_with_indexes(
-                streams[0], idx_a, self.y_tables.cdfs,
-                self.y_tables.cdf_lengths, self.y_tables.offsets,
-            ).reshape(idx_a.shape)
-            str_a = streams[0]
-        anchor_full = np.zeros((b, h, w, gsize), np.float32)
-        anchor_full[:, amask] = sym_a + means_a_np
-        anchor_hat = jnp.asarray(anchor_full)
-
-        scales_n, means_n = self._group_params[i](
-            self.variables, hyper, prev, anchor_hat
+        anchor_hat = zeros.at[:, ai, aj].set(vals_a)
+        vals_n, str_n = phase(
+            curr_y, anchor_hat, (ni, nj),
+            None if streams is None else streams[1],
         )
-        nmask = ~amask
-        idx_n = np.asarray(self.gaussian.build_indexes(scales_n))[:, nmask]
-        means_n_np = np.asarray(means_n)[:, nmask]
-        if streams is None:
-            y_np = np.asarray(curr_y)[:, nmask]
-            sym_n = np.rint(y_np - means_n_np).astype(np.int32)
-            str_n = encode_with_indexes(
-                sym_n, idx_n, self.y_tables.cdfs, self.y_tables.cdf_lengths,
-                self.y_tables.offsets,
-            )
-            out_streams = [str_a, str_n]
-        else:
-            sym_n = decode_with_indexes(
-                streams[1], idx_n, self.y_tables.cdfs,
-                self.y_tables.cdf_lengths, self.y_tables.offsets,
-            ).reshape(idx_n.shape)
-            out_streams = streams
-        full = np.asarray(anchor_full)
-        full[:, nmask] = sym_n + means_n_np
-        return jnp.asarray(full), out_streams
+        y_hat = anchor_hat.at[:, ni, nj].set(vals_n)
+        return y_hat, [str_a, str_n]
 
     def compress(self, x) -> dict:
         from tpuvc.coder import encode_with_indexes

@@ -238,7 +238,7 @@ class GainedHyperpriorCoder:
         scaled_y, scaled_z = self._analysis(self.variables, x, n, l)
         zc = scaled_z.shape[-1]
         med = jnp.asarray(self.z_tables.medians)
-        z_sym = np.asarray(quantize(scaled_z, "symbols", means=med))
+        z_sym = np.asarray(quantize(scaled_z, "symbols16", means=med))
         z_idx = np.broadcast_to(np.arange(zc, dtype=np.int32), z_sym.shape)
         z_string = encode_with_indexes(
             z_sym, z_idx, self.z_tables.cdfs, self.z_tables.cdf_lengths,
@@ -246,8 +246,10 @@ class GainedHyperpriorCoder:
         )
         z_hat = jnp.asarray(z_sym, jnp.float32) + med
         scales, means = self._entropy_params(self.variables, z_hat, n, l)
-        y_idx = np.asarray(self.gaussian.build_indexes(scales))
-        y_sym = np.asarray(quantize(scaled_y, "symbols", means=means))
+        y_idx = np.asarray(
+            self.gaussian.build_indexes(scales).astype(jnp.uint8)
+        )
+        y_sym = np.asarray(quantize(scaled_y, "symbols16", means=means))
         y_string = encode_with_indexes(
             y_sym, y_idx, self.y_tables.cdfs, self.y_tables.cdf_lengths,
             self.y_tables.offsets,
@@ -271,14 +273,16 @@ class GainedHyperpriorCoder:
 
         scaled_y, scaled_z = self._analysis(self.variables, x, n, l)
         med = jnp.asarray(self.z_tables.medians)
-        z_sym = np.asarray(quantize(scaled_z, "symbols", means=med))
+        z_sym = np.asarray(quantize(scaled_z, "symbols16", means=med))
         z_idx = np.broadcast_to(
             np.arange(scaled_z.shape[-1], dtype=np.int32), z_sym.shape[1:]
         )
         z_hat = jnp.asarray(z_sym, jnp.float32) + med
         scales, means = self._entropy_params(self.variables, z_hat, n, l)
-        y_idx = np.asarray(self.gaussian.build_indexes(scales))
-        y_sym = np.asarray(quantize(scaled_y, "symbols", means=means))
+        y_idx = np.asarray(
+            self.gaussian.build_indexes(scales).astype(jnp.uint8)
+        )
+        y_sym = np.asarray(quantize(scaled_y, "symbols16", means=means))
 
         def pack(b):
             z_str = encode_with_indexes(

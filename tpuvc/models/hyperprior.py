@@ -173,7 +173,9 @@ class HyperpriorCoder:
         y, z = self._analysis(self.variables, x)
         zc = z.shape[-1]
         med = jnp.asarray(self.z_tables.medians)
-        z_sym = np.asarray(quantize(z, "symbols", means=med))
+        # int16 symbols / uint8 indexes: the D2H fetches dominate coding
+        # time through a slow host link, so fetch the narrow views.
+        z_sym = np.asarray(quantize(z, "symbols16", means=med))
         z_idx = np.broadcast_to(np.arange(zc, dtype=np.int32), z_sym.shape)
         z_string = encode_with_indexes(
             z_sym, z_idx, self.z_tables.cdfs, self.z_tables.cdf_lengths,
@@ -181,8 +183,10 @@ class HyperpriorCoder:
         )
         z_hat = jnp.asarray(z_sym, jnp.float32) + med
         scales, means = self._entropy_params(self.variables, z_hat)
-        y_idx = np.asarray(self.gaussian.build_indexes(scales))
-        y_sym = np.asarray(quantize(y, "symbols", means=means))
+        y_idx = np.asarray(
+            self.gaussian.build_indexes(scales).astype(jnp.uint8)
+        )
+        y_sym = np.asarray(quantize(y, "symbols16", means=means))
         y_string = encode_with_indexes(
             y_sym, y_idx, self.y_tables.cdfs, self.y_tables.cdf_lengths,
             self.y_tables.offsets,
@@ -212,14 +216,16 @@ class HyperpriorCoder:
 
         y, z = self._analysis(self.variables, x)
         med = jnp.asarray(self.z_tables.medians)
-        z_sym = np.asarray(quantize(z, "symbols", means=med))
+        z_sym = np.asarray(quantize(z, "symbols16", means=med))
         z_idx = np.broadcast_to(
             np.arange(z.shape[-1], dtype=np.int32), z_sym.shape[1:]
         )
         z_hat = jnp.asarray(z_sym, jnp.float32) + med
         scales, means = self._entropy_params(self.variables, z_hat)
-        y_idx = np.asarray(self.gaussian.build_indexes(scales))
-        y_sym = np.asarray(quantize(y, "symbols", means=means))
+        y_idx = np.asarray(
+            self.gaussian.build_indexes(scales).astype(jnp.uint8)
+        )
+        y_sym = np.asarray(quantize(y, "symbols16", means=means))
 
         def pack(b):
             z_str = encode_with_indexes(
