@@ -180,12 +180,19 @@ def _encode_level_batched(args, frames, coder, intra_coder):
 
     from tpuvc.data.uvg import device_frame
 
+    import os as _os
+
+    timing = bool(_os.environ.get("TPUVC_TIMING"))
+
     def intra(idx):
+        ti = time.perf_counter()
         x = device_frame(frames.u8(idx))
         out = intra_coder.compress(x)
         dec = jnp.clip(intra_coder.synthesize(out["y_hat"]), 0.0, 1.0)
         anchors[idx] = dec
         records.append(("I", idx, IFrameBitstream.from_compress(out).serialize()))
+        if timing:
+            print(f"  intra {idx}: {time.perf_counter() - ti:.2f}s")
 
     from tpuvc.ops.precision import policy_from_name
 
@@ -199,6 +206,7 @@ def _encode_level_batched(args, frames, coder, intra_coder):
         decoded = {0: anchors[g0], gop: anchors[g0 + gop]}
         for level_frames in table.frames_by_level():
             for c0 in range(0, len(level_frames), args.max_batch):
+                tc = time.perf_counter()
                 chunk = level_frames[c0 : c0 + args.max_batch]
                 refs = [table.refs[f] for f in chunk]
                 xb = jnp.concatenate([decoded[a] for a, _ in refs], axis=0)
@@ -232,6 +240,11 @@ def _encode_level_batched(args, frames, coder, intra_coder):
                 for i, f in enumerate(chunk):
                     decoded[f] = x_hat[i : i + 1]
                     records.append(("B", g0 + f, bits[i].serialize()))
+                if timing:
+                    print(
+                        f"  chunk {chunk} (B={len(chunk)}): "
+                        f"{time.perf_counter() - tc:.2f}s"
+                    )
         print(f"GOP {g0}..{g0 + gop} coded")
 
     # Policy wraps the jit call sites (graphs trace under it); the header
