@@ -176,7 +176,7 @@ def main(argv=None):
     )
     batches = make_batch_iterator(
         dataset, cfg.batch_size, cfg.crop, n_frames=n_frames, seed=cfg.seed,
-        workers=cfg.workers, prefetch=cfg.prefetch,
+        workers=cfg.workers, prefetch=cfg.prefetch, raw_uint8=True,
     )
 
     init_shape = (1, cfg.crop, cfg.crop, 3)
@@ -359,7 +359,9 @@ def main(argv=None):
 
     t0 = time.perf_counter()
     for it in range(start_step, cfg.total_steps):
-        batch = jnp.asarray(next(batches))
+        # uint8 upload + on-device conversion: 4x less H2D traffic than
+        # uploading the float batch (value-identical to host to_float).
+        batch = jnp.asarray(next(batches)).astype(jnp.float32) / 255.0
         if n_dev > 1:
             from tpuvc.parallel.mesh import shard_batch
 

@@ -36,7 +36,7 @@ class VimeoSeptuplets:
     def load(self, idx: int, frame_ids) -> list[np.ndarray]:
         seq = os.path.join(self.root, "sequences", self.items[idx])
         return [
-            to_float(load_png(os.path.join(seq, f"im{i}.png")))
+            load_png(os.path.join(seq, f"im{i}.png"))  # uint8
             for i in frame_ids
         ]
 
@@ -59,7 +59,9 @@ class SyntheticSeptuplets:
             np.float32
         )
         return [
-            np.clip(base + (i - 1) * drift, 0.0, 1.0) for i in frame_ids
+            np.clip(np.rint(np.clip(base + (i - 1) * drift, 0, 1) * 255),
+                    0, 255).astype(np.uint8)
+            for i in frame_ids
         ]
 
 
@@ -72,8 +74,11 @@ def make_batch_iterator(
     flip: bool = True,
     workers: int = 0,
     prefetch: int = 0,
+    raw_uint8: bool = False,
 ):
-    """Infinite iterator of (B, n_frames, crop, crop, 3) float32 batches.
+    """Infinite iterator of (B, n_frames, crop, crop, 3) batches —
+    float32 in [0,1] by default, uint8 with ``raw_uint8=True`` (the train
+    CLI uploads uint8 and converts on device: 4x less H2D traffic).
 
     Frame windows follow the reference: a random contiguous window of
     ``n_frames`` odd-strided frames from each septuplet, random spatial
@@ -134,7 +139,8 @@ def make_batch_iterator(
         mats = pool.map(materialize, plans) if pool else map(
             materialize, plans
         )
-        return np.stack(list(mats))
+        out = np.stack(list(mats))
+        return out if raw_uint8 else to_float(out)
 
     if prefetch <= 0:
         while True:
