@@ -107,3 +107,25 @@ def test_level_batched_round_trip(tmp_path):
 
     img = load_png(os.path.join(out_dir, "frame_00004.png"))
     assert np.isfinite(img.astype(np.float32)).all()
+
+
+def test_level_batched_flexrate_round_trip(tmp_path):
+    """mode=1 with the flexrate family decodes cleanly."""
+    from tpuvc.cli.decode_v import main as decode_main
+    from tpuvc.cli.encode_v import main as encode_main
+
+    bin_path = str(tmp_path / "seq_fr.tpvb")
+    out_dir = str(tmp_path / "dec_fr")
+    encode_main(SMALL + ["--family", "flexrate", "--bin", bin_path,
+                         "--level_batched", "--max_batch", "2",
+                         "--n", "1", "--interp", "0.7"])
+    with open(bin_path, "rb") as f:
+        seq = VSequenceBitstream.deserialize(f.read())
+    assert seq.family == "flexrate" and seq.mode == 1
+
+    model_args = SMALL[SMALL.index("--init"):]
+    decode_main(model_args + ["--bin", bin_path, "--out_dir", out_dir,
+                              "--synthetic", "9"])
+    assert sorted(os.listdir(out_dir)) == [
+        f"frame_{i:05d}.png" for i in range(9)
+    ]
