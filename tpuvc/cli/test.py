@@ -227,12 +227,10 @@ def make_dmc_fns(cfg, intra_pack, inter_pack, level: int):
         # comparison costs no device sync.
         new_dpb = dict(new_dpb)
         new_dpb["ref_down_ratio"] = ratio
+        # Device scalars; the runner converts once at the end of the
+        # sequence, keeping the loop sync-free.
         extras = (
-            {
-                "warp_psnr": float(psnr_of(warped, x)),
-                "bits_mv": float(bmv),
-                "bits_y": float(by),
-            }
+            {"warp_psnr": psnr_of(warped, x), "bits_mv": bmv, "bits_y": by}
             if want_diag
             else {}
         )

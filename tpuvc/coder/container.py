@@ -355,7 +355,7 @@ class VSequenceBitstream:
     max_batch: int = 0
     dtype: int = 0
 
-    MAGIC = b"TPV1"
+    MAGIC = b"TPV2"
     HEADER = "<4sBHHHHBBB"
 
     @property
@@ -386,6 +386,11 @@ class VSequenceBitstream:
             cls.HEADER, blob[:hsize]
         )
         if magic != cls.MAGIC:
+            if magic == b"TPV1":
+                raise ValueError(
+                    "TPV1 stream from an older tpuvc build (no dtype "
+                    "field); re-encode with this version"
+                )
             raise ValueError(f"bad sequence magic: {magic!r}")
         off = hsize
         frames = []

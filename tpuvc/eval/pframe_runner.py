@@ -38,20 +38,29 @@ def eval_pframe_sequence(
     """
     from tpuvc.eval.runner import eval_sequence_lowdelay
 
+    last_search: dict = {}
+
     def ratio_for_frame(x, dpb):
-        ratio, _, _ = fractional_ratio_search(
+        ratio, warp_psnr, _ = fractional_ratio_search(
             lambda r: warp_pred_fn(x, dpb["ref_frame"], r),
             x,
             prev_ratio=dpb["ref_down_ratio"],
             ratios=ratios,
         )
+        last_search["warp_psnr"] = warp_psnr
         return ratio
 
     def pf(x, dpb, ratio):
         out = pframe_fn(x, dpb, ratio)
-        extras = {
-            k: float(out[k]) for k in ("bits_mv", "bits_y") if k in out
-        } if diagnostics is not None else {}
+        # Device scalars only — the runner converts once at the end so the
+        # loop stays sync-free.
+        extras = (
+            {k: out[k] for k in ("bits_mv", "bits_y") if k in out}
+            if diagnostics is not None
+            else {}
+        )
+        if "warp_psnr" in last_search:
+            extras["warp_psnr"] = last_search.pop("warp_psnr")
         return out["x_hat"], out["bits"], out["dpb"], extras
 
     return eval_sequence_lowdelay(

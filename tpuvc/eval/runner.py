@@ -184,11 +184,12 @@ def eval_sequence_lowdelay(
         if info is not None:
             info.update(video, level, i, typ, p, size, h * w, **extra)
         if diagnostics is not None:
+            conv = lambda v: None if v is None else float(v)
             diagnostics.update(
                 frame=i, type=typ, down_ratio=ratio, psnr=p,
-                warp_psnr=extras.get("warp_psnr"), bits=size,
-                bpp=size / (h * w), bits_mv=extras.get("bits_mv"),
-                bits_y=extras.get("bits_y"),
+                warp_psnr=conv(extras.get("warp_psnr")), bits=size,
+                bpp=size / (h * w), bits_mv=conv(extras.get("bits_mv")),
+                bits_y=conv(extras.get("bits_y")),
             )
     return psnr_list, size_list
 

@@ -518,7 +518,8 @@ class CondELICCoder:
         b = z.shape[0]
         zc = self.module.N
         med = jnp.asarray(self.z_tables.medians)
-        z_sym = np.asarray(quantize(z, "symbols", means=med))
+        z_sym_dev = quantize(z, "symbols16", means=med)
+        z_sym = np.asarray(z_sym_dev)
         z_idx = np.broadcast_to(
             np.arange(zc, dtype=np.int32), z_sym.shape[1:]
         )
@@ -531,7 +532,7 @@ class CondELICCoder:
             ),
             range(b),
         )
-        z_hat = jnp.asarray(z_sym, jnp.float32) + med
+        z_hat = z_sym_dev.astype(jnp.float32) + med
         hyper = self._hyper(self.variables, z_hat, temporal_cond, s)
 
         per_frame = [[zs] for zs in z_strs]

@@ -379,23 +379,6 @@ class PFrameDMCCoder:
             )
         )
 
-    def _code_z(self, name, z):
-        import numpy as np
-
-        from tpuvc.coder import encode_with_indexes
-
-        t = self.tables[name]
-        med = jnp.asarray(t.medians)
-        z_sym = np.asarray(quantize(z, "symbols", means=med))
-        z_idx = np.broadcast_to(
-            np.arange(z_sym.shape[-1], dtype=np.int32), z_sym.shape
-        )
-        string = encode_with_indexes(
-            z_sym, z_idx, t.cdfs, t.cdf_lengths, t.offsets
-        )
-        z_hat = jnp.asarray(z_sym, jnp.float32) + med
-        return string, z_hat
-
     def _decode_z(self, name, string, z_shape, batch=1):
         import numpy as np
 
@@ -411,20 +394,6 @@ class PFrameDMCCoder:
             string, z_idx, t.cdfs, t.cdf_lengths, t.offsets
         ).reshape(batch, zh, zw, zc)
         return jnp.asarray(z_sym, jnp.float32) + jnp.asarray(t.medians)
-
-    def _code_y(self, y, scales, means):
-        import numpy as np
-
-        from tpuvc.coder import encode_with_indexes
-
-        y_idx = np.asarray(self.gaussian.build_indexes(scales))
-        y_sym = np.asarray(quantize(y, "symbols", means=means))
-        string = encode_with_indexes(
-            y_sym, y_idx, self.y_tables.cdfs, self.y_tables.cdf_lengths,
-            self.y_tables.offsets,
-        )
-        y_hat = jnp.asarray(y_sym, jnp.float32) + means
-        return string, y_hat
 
     def _decode_y(self, string, scales, means):
         import numpy as np

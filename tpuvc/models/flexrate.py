@@ -238,18 +238,21 @@ class GainedHyperpriorCoder:
         scaled_y, scaled_z = self._analysis(self.variables, x, n, l)
         zc = scaled_z.shape[-1]
         med = jnp.asarray(self.z_tables.medians)
-        z_sym = np.asarray(quantize(scaled_z, "symbols16", means=med))
+        z_sym_dev = quantize(scaled_z, "symbols16", means=med)
+        z_sym = np.asarray(z_sym_dev)
         z_idx = np.broadcast_to(np.arange(zc, dtype=np.int32), z_sym.shape)
         z_string = encode_with_indexes(
             z_sym, z_idx, self.z_tables.cdfs, self.z_tables.cdf_lengths,
             self.z_tables.offsets,
         )
-        z_hat = jnp.asarray(z_sym, jnp.float32) + med
+        # Rebuild from the device-resident quantized arrays (no re-upload).
+        z_hat = z_sym_dev.astype(jnp.float32) + med
         scales, means = self._entropy_params(self.variables, z_hat, n, l)
         y_idx = np.asarray(
             self.gaussian.build_indexes(scales).astype(jnp.uint8)
         )
-        y_sym = np.asarray(quantize(scaled_y, "symbols16", means=means))
+        y_sym_dev = quantize(scaled_y, "symbols16", means=means)
+        y_sym = np.asarray(y_sym_dev)
         y_string = encode_with_indexes(
             y_sym, y_idx, self.y_tables.cdfs, self.y_tables.cdf_lengths,
             self.y_tables.offsets,
@@ -257,7 +260,7 @@ class GainedHyperpriorCoder:
         return {
             "strings": [y_string, z_string],
             "shape": scaled_z.shape[1:3],
-            "y_hat": jnp.asarray(y_sym, jnp.float32) + means,
+            "y_hat": y_sym_dev.astype(jnp.float32) + means,
         }
 
     def synthesize(self, y_hat, n: int, l: float = 1.0):
@@ -273,16 +276,18 @@ class GainedHyperpriorCoder:
 
         scaled_y, scaled_z = self._analysis(self.variables, x, n, l)
         med = jnp.asarray(self.z_tables.medians)
-        z_sym = np.asarray(quantize(scaled_z, "symbols16", means=med))
+        z_sym_dev = quantize(scaled_z, "symbols16", means=med)
+        z_sym = np.asarray(z_sym_dev)
         z_idx = np.broadcast_to(
             np.arange(scaled_z.shape[-1], dtype=np.int32), z_sym.shape[1:]
         )
-        z_hat = jnp.asarray(z_sym, jnp.float32) + med
+        z_hat = z_sym_dev.astype(jnp.float32) + med
         scales, means = self._entropy_params(self.variables, z_hat, n, l)
         y_idx = np.asarray(
             self.gaussian.build_indexes(scales).astype(jnp.uint8)
         )
-        y_sym = np.asarray(quantize(scaled_y, "symbols16", means=means))
+        y_sym_dev = quantize(scaled_y, "symbols16", means=means)
+        y_sym = np.asarray(y_sym_dev)
 
         def pack(b):
             z_str = encode_with_indexes(
@@ -301,7 +306,7 @@ class GainedHyperpriorCoder:
         return {
             "strings": strings,
             "shape": scaled_z.shape[1:3],
-            "y_hat": jnp.asarray(y_sym, jnp.float32) + means,
+            "y_hat": y_sym_dev.astype(jnp.float32) + means,
         }
 
     def decompress_batch(self, strings: list, shape, n: int, l: float = 1.0):

@@ -427,6 +427,7 @@ class FlowGuidedBCoder:
             jnp.concatenate([f, xc], axis=-1) for f, xc in zip(fcur, x_comp)
         )
         res = self.res_coder.compress_batch(res_inputs, x_comp, res_temp, s)
+        assert off["z_shape"] == res["z_shape"]
         bits = [
             VFrameBitstream(
                 s_milli=int(round(float(s) * 1000)),

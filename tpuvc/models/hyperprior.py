@@ -175,18 +175,22 @@ class HyperpriorCoder:
         med = jnp.asarray(self.z_tables.medians)
         # int16 symbols / uint8 indexes: the D2H fetches dominate coding
         # time through a slow host link, so fetch the narrow views.
-        z_sym = np.asarray(quantize(z, "symbols16", means=med))
+        z_sym_dev = quantize(z, "symbols16", means=med)
+        z_sym = np.asarray(z_sym_dev)
         z_idx = np.broadcast_to(np.arange(zc, dtype=np.int32), z_sym.shape)
         z_string = encode_with_indexes(
             z_sym, z_idx, self.z_tables.cdfs, self.z_tables.cdf_lengths,
             self.z_tables.offsets,
         )
-        z_hat = jnp.asarray(z_sym, jnp.float32) + med
+        # z_hat/y_hat rebuild from the DEVICE-resident quantized arrays —
+        # no re-upload of what was just fetched.
+        z_hat = z_sym_dev.astype(jnp.float32) + med
         scales, means = self._entropy_params(self.variables, z_hat)
         y_idx = np.asarray(
             self.gaussian.build_indexes(scales).astype(jnp.uint8)
         )
-        y_sym = np.asarray(quantize(y, "symbols16", means=means))
+        y_sym_dev = quantize(y, "symbols16", means=means)
+        y_sym = np.asarray(y_sym_dev)
         y_string = encode_with_indexes(
             y_sym, y_idx, self.y_tables.cdfs, self.y_tables.cdf_lengths,
             self.y_tables.offsets,
@@ -196,7 +200,7 @@ class HyperpriorCoder:
         return {
             "strings": [y_string, z_string],
             "shape": z.shape[1:3],
-            "y_hat": jnp.asarray(y_sym, jnp.float32) + means,
+            "y_hat": y_sym_dev.astype(jnp.float32) + means,
         }
 
     def synthesize(self, y_hat: jnp.ndarray) -> jnp.ndarray:
@@ -216,16 +220,18 @@ class HyperpriorCoder:
 
         y, z = self._analysis(self.variables, x)
         med = jnp.asarray(self.z_tables.medians)
-        z_sym = np.asarray(quantize(z, "symbols16", means=med))
+        z_sym_dev = quantize(z, "symbols16", means=med)
+        z_sym = np.asarray(z_sym_dev)
         z_idx = np.broadcast_to(
             np.arange(z.shape[-1], dtype=np.int32), z_sym.shape[1:]
         )
-        z_hat = jnp.asarray(z_sym, jnp.float32) + med
+        z_hat = z_sym_dev.astype(jnp.float32) + med
         scales, means = self._entropy_params(self.variables, z_hat)
         y_idx = np.asarray(
             self.gaussian.build_indexes(scales).astype(jnp.uint8)
         )
-        y_sym = np.asarray(quantize(y, "symbols16", means=means))
+        y_sym_dev = quantize(y, "symbols16", means=means)
+        y_sym = np.asarray(y_sym_dev)
 
         def pack(b):
             z_str = encode_with_indexes(
@@ -244,7 +250,7 @@ class HyperpriorCoder:
         return {
             "strings": strings,
             "shape": z.shape[1:3],
-            "y_hat": jnp.asarray(y_sym, jnp.float32) + means,
+            "y_hat": y_sym_dev.astype(jnp.float32) + means,
         }
 
     def decompress_batch(self, strings: list, shape) -> jnp.ndarray:
