@@ -141,3 +141,48 @@ class TestResample:
         np.testing.assert_allclose(
             np.asarray(y[0, :, :, 0]), [[0, 1], [2, 3]]
         )
+
+
+class TestTransferPrimitives:
+    """Invariants of the slim host<->device transfer paths."""
+
+    def test_symbols16_matches_symbols_in_range(self):
+        from tpuvc.entropy.quant import quantize
+
+        x = jnp.asarray(np.linspace(-300.0, 300.0, 1001, dtype=np.float32))
+        means = jnp.asarray(np.linspace(-2, 2, 1001, dtype=np.float32))
+        s32 = np.asarray(quantize(x, "symbols", means=means))
+        s16 = np.asarray(quantize(x, "symbols16", means=means))
+        assert s16.dtype == np.int16
+        np.testing.assert_array_equal(s32, s16.astype(np.int32))
+
+    def test_symbols16_clamps(self):
+        from tpuvc.entropy.quant import quantize
+
+        x = jnp.asarray(np.array([1e6, -1e6, 0.4], np.float32))
+        s16 = np.asarray(quantize(x, "symbols16"))
+        np.testing.assert_array_equal(s16, [32000, -32000, 0])
+
+    def test_device_frame_matches_to_float(self):
+        from tpuvc.data.frames import to_float
+        from tpuvc.data.uvg import device_frame
+
+        u8 = np.arange(256, dtype=np.uint8).reshape(1, 8, 8, 4)[..., :3]
+        np.testing.assert_array_equal(
+            np.asarray(device_frame(u8)), to_float(u8)
+        )
+
+    def test_psnr_uint8_np_matches_device(self):
+        from tpuvc.eval.metrics import psnr_uint8, psnr_uint8_np
+
+        rng = np.random.default_rng(3)
+        a = rng.random((1, 16, 16, 3)).astype(np.float32)
+        b = np.clip(a + 0.05 * rng.standard_normal(a.shape), 0, 1).astype(
+            np.float32
+        )
+        dev = float(psnr_uint8(jnp.asarray(a), jnp.asarray(b)))
+        host = psnr_uint8_np(a, b)
+        assert abs(dev - host) < 1e-3
+        # uint8 input form agrees with the float form.
+        a8 = np.round(a * 255).astype(np.uint8)
+        assert abs(psnr_uint8_np(a8, b) - psnr_uint8_np(a, b)) < 1e-9
