@@ -129,3 +129,51 @@ def test_level_batched_flexrate_round_trip(tmp_path):
     assert sorted(os.listdir(out_dir)) == [
         f"frame_{i:05d}.png" for i in range(9)
     ]
+    # A regroup/rANS desync would crater these; random-init codecs sit
+    # around 5 dB on this synthetic content.
+    ps = _decoded_psnrs(out_dir)
+    assert all(3.0 < p < 60.0 for p in ps), ps
+
+
+def _decoded_psnrs(out_dir, n=9):
+    from tpuvc.data.frames import load_png
+    from tpuvc.data.uvg import SyntheticSequence
+    from tpuvc.eval.metrics import psnr_uint8_np
+
+    src = SyntheticSequence(n_frames=n, h=64, w=64)
+    return [
+        psnr_uint8_np(
+            src.u8(i)[0, :64, :64],
+            load_png(os.path.join(out_dir, f"frame_{i:05d}.png")),
+        )
+        for i in range(n)
+    ]
+
+
+def test_level_batched_window_gops_round_trip(tmp_path):
+    """mode=1 with cross-GOP windows (window_gops=2): one window spans
+    both GOPs; the decoder regroups by window + level."""
+    from tpuvc.cli.decode_v import main as decode_main
+    from tpuvc.cli.encode_v import main as encode_main
+
+    bin_path = str(tmp_path / "seq_wg.tpvb")
+    out_dir = str(tmp_path / "dec_wg")
+    encode_main(SMALL + ["--family", "lhbdc", "--bin", bin_path,
+                         "--level_batched", "--max_batch", "4",
+                         "--window_gops", "2"])
+    with open(bin_path, "rb") as f:
+        seq = VSequenceBitstream.deserialize(f.read())
+    assert seq.mode == 1 and seq.window_gops == 2
+    # Cross-GOP batching: the deepest level of both GOPs rides one run of
+    # consecutive records (frames 1,3 of each GOP -> 4 same-level records).
+    b_idx = [i for t, i, _ in seq.frames if t == "B"]
+    assert sorted(b_idx) == [1, 2, 3, 5, 6, 7]
+
+    model_args = SMALL[SMALL.index("--init"):]
+    decode_main(model_args + ["--bin", bin_path, "--out_dir", out_dir,
+                              "--synthetic", "9"])
+    assert sorted(os.listdir(out_dir)) == [
+        f"frame_{i:05d}.png" for i in range(9)
+    ]
+    ps = _decoded_psnrs(out_dir)
+    assert all(3.0 < p < 60.0 for p in ps), ps

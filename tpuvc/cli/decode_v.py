@@ -63,6 +63,7 @@ def _decode_level_batched(args, seq, coder, intra_coder, originals,
 
     h, w, n = seq.height, seq.width, seq.n_frames
     gop = seq.gop
+    window = max(1, seq.window_gops) * gop
     table = gop_coding_table(gop)
     level_of = {
         f: li for li, lv in enumerate(table.frames_by_level()) for f in lv
@@ -77,14 +78,19 @@ def _decode_level_batched(args, seq, coder, intra_coder, originals,
     def flush(chunk):
         if not chunk:
             return
-        g0 = (chunk[0][0] // gop) * gop
-        # Frames before this GOP can no longer be referenced.
-        for k in [k for k in decoded if k < g0]:
+        w0 = (chunk[0][0] // window) * window
+        # Frames before this window can no longer be referenced.
+        for k in [k for k in decoded if k < w0]:
             del decoded[k]
-        locs = [idx - g0 for idx, _ in chunk]
+        gs = [(idx // gop) * gop for idx, _ in chunk]
+        locs = [idx - g0 for (idx, _), g0 in zip(chunk, gs)]
         refs = [table.refs[f] for f in locs]
-        xb = jnp.concatenate([decoded[g0 + a] for a, _ in refs], axis=0)
-        xa = jnp.concatenate([decoded[g0 + b] for _, b in refs], axis=0)
+        xb = jnp.concatenate(
+            [decoded[g0 + a] for g0, (a, _) in zip(gs, refs)], axis=0
+        )
+        xa = jnp.concatenate(
+            [decoded[g0 + b] for g0, (_, b) in zip(gs, refs)], axis=0
+        )
         bits = [frame_cls.deserialize(blob) for _, blob in chunk]
         x_hat = jnp.clip(
             coder.decode_level_batch(xb, xa, bits), 0.0, 1.0
@@ -109,7 +115,7 @@ def _decode_level_batched(args, seq, coder, intra_coder, originals,
             same_chunk = (
                 chunk
                 and len(chunk) < (seq.max_batch or 8)
-                and (idx // gop) == (chunk[0][0] // gop)
+                and (idx // window) == (chunk[0][0] // window)
                 and level_of[idx - (idx // gop) * gop]
                 == level_of[chunk[0][0] - (chunk[0][0] // gop) * gop]
             )

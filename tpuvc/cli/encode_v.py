@@ -65,6 +65,11 @@ def build_parser():
                         "batch shapes)")
     p.add_argument("--max_batch", type=int, default=8,
                    help="per-forward batch cap for --level_batched")
+    p.add_argument("--window_gops", type=int, default=1,
+                   help="GOPs coded together per window in --level_batched "
+                        "mode: the same hierarchy level across the window's "
+                        "GOPs shares one forward (HBM-bounded; 2 is the "
+                        "1080p sweet spot)")
     p.add_argument("--compute_dtype", choices=["float32", "bfloat16"],
                    default="float32",
                    help="layer compute policy (tpuvc.ops.precision); "
@@ -196,23 +201,39 @@ def _encode_level_batched(args, frames, coder, intra_coder):
 
     from tpuvc.ops.precision import policy_from_name
 
-    def code_window(g0):
-        for b in (g0, g0 + gop):
+    def code_window(w0):
+        """Code one window of up to --window_gops GOPs: the same hierarchy
+        level of every GOP in the window shares one batched forward (the
+        eval scheduler's cross-GOP batching, applied to real coding)."""
+        starts = list(
+            range(w0, min(w0 + max(1, args.window_gops) * gop, n - 1), gop)
+        )
+        for b in [w0] + [g + gop for g in starts]:
             if b not in anchors:
                 intra(b)
-        # Older anchors can no longer be referenced — free their HBM.
-        for k in [k for k in anchors if k < g0]:
+        # Frames before this window can no longer be referenced.
+        for k in [k for k in anchors if k < w0]:
             del anchors[k]
-        decoded = {0: anchors[g0], gop: anchors[g0 + gop]}
+        decoded = {}  # absolute index
+        for g in starts:
+            decoded[g] = anchors[g]
+            decoded[g + gop] = anchors[g + gop]
         for level_frames in table.frames_by_level():
-            for c0 in range(0, len(level_frames), args.max_batch):
+            work = [(g0, f) for f in level_frames for g0 in starts]
+            for c0 in range(0, len(work), args.max_batch):
                 tc = time.perf_counter()
-                chunk = level_frames[c0 : c0 + args.max_batch]
-                refs = [table.refs[f] for f in chunk]
-                xb = jnp.concatenate([decoded[a] for a, _ in refs], axis=0)
-                xa = jnp.concatenate([decoded[b] for _, b in refs], axis=0)
+                chunk = work[c0 : c0 + args.max_batch]
+                refs = [table.refs[f] for _, f in chunk]
+                xb = jnp.concatenate(
+                    [decoded[g0 + a] for (g0, _), (a, _) in zip(chunk, refs)],
+                    axis=0,
+                )
+                xa = jnp.concatenate(
+                    [decoded[g0 + b] for (g0, _), (_, b) in zip(chunk, refs)],
+                    axis=0,
+                )
                 xc = jnp.concatenate(
-                    [device_frame(frames.u8(g0 + f)) for f in chunk],
+                    [device_frame(frames.u8(g0 + f)) for g0, f in chunk],
                     axis=0,
                 )
                 if args.family == "lhbdc":
@@ -231,32 +252,34 @@ def _encode_level_batched(args, frames, coder, intra_coder):
                     from tpuvc.models.flowguided_b import get_scales
 
                     a0, b0 = refs[0]
-                    s1, s2 = get_scales(chunk[0], a0, b0)
+                    s1, s2 = get_scales(chunk[0][1], a0, b0)
                     bits, x_hat = coder.encode_level_batch(
                         xb, xa, xc, s=args.s, scale1=s1, scale2=s2,
                         down_ratio=args.down_ratio,
                     )
                 x_hat = jnp.clip(x_hat, 0.0, 1.0)
-                for i, f in enumerate(chunk):
-                    decoded[f] = x_hat[i : i + 1]
+                for i, (g0, f) in enumerate(chunk):
+                    decoded[g0 + f] = x_hat[i : i + 1]
                     records.append(("B", g0 + f, bits[i].serialize()))
                 if timing:
                     print(
                         f"  chunk {chunk} (B={len(chunk)}): "
                         f"{time.perf_counter() - tc:.2f}s"
                     )
-        print(f"GOP {g0}..{g0 + gop} coded")
+        print(f"window {w0}..{starts[-1] + gop} coded")
 
     # Policy wraps the jit call sites (graphs trace under it); the header
     # records it so decode_v traces under the same numerics.
+    window = max(1, args.window_gops) * gop
     with policy_from_name(args.compute_dtype):
-        for g0 in range(0, n - 1, gop):
-            code_window(g0)
+        for w0 in range(0, n - 1, window):
+            code_window(w0)
 
     seq = VSequenceBitstream(
         family=args.family, width=w, height=h, gop=gop, n_frames=n,
         frames=records, mode=1, max_batch=args.max_batch,
         dtype=1 if args.compute_dtype == "bfloat16" else 0,
+        window_gops=max(1, args.window_gops),
     )
     blob = seq.serialize()
     with open(args.bin, "wb") as f:

@@ -340,7 +340,7 @@ class VSequenceBitstream:
 
     Layout: b"TPV1" | uint8 family | uint16 width | uint16 height |
     uint16 gop | uint16 n_frames | uint8 mode | uint8 max_batch |
-    uint8 dtype | per frame in coding order:
+    uint8 dtype | uint8 window_gops | per frame in coding order:
     uint8 type (0=I, 1=B) | uint16 display_idx | uint32 length | blob.
     width/height are the unpadded display size.
     """
@@ -354,9 +354,10 @@ class VSequenceBitstream:
     mode: int = 0
     max_batch: int = 0
     dtype: int = 0
+    window_gops: int = 1
 
     MAGIC = b"TPV2"
-    HEADER = "<4sBHHHHBBB"
+    HEADER = "<4sBHHHHBBBB"
 
     @property
     def num_bytes(self) -> int:
@@ -370,6 +371,7 @@ class VSequenceBitstream:
                 self.HEADER, self.MAGIC, B_FAMILY_IDS[self.family],
                 self.width, self.height, self.gop, self.n_frames,
                 self.mode, self.max_batch, self.dtype,
+                max(1, self.window_gops),
             )
         ]
         for typ, idx, blob in self.frames:
@@ -382,7 +384,7 @@ class VSequenceBitstream:
     @classmethod
     def deserialize(cls, blob: bytes) -> "VSequenceBitstream":
         hsize = struct.calcsize(cls.HEADER)
-        magic, fam, w, h, gop, n, mode, mb, dtype = struct.unpack(
+        magic, fam, w, h, gop, n, mode, mb, dtype, wg = struct.unpack(
             cls.HEADER, blob[:hsize]
         )
         if magic != cls.MAGIC:
@@ -414,4 +416,5 @@ class VSequenceBitstream:
         return cls(
             family=B_FAMILY_NAMES[fam], width=w, height=h, gop=gop,
             n_frames=n, frames=frames, mode=mode, max_batch=mb, dtype=dtype,
+            window_gops=max(1, wg),
         )
