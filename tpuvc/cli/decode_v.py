@@ -100,18 +100,34 @@ def _decode_level_batched(args, seq, coder, intra_coder, originals,
             decoded[idx] = x_hat[i : i + 1]
             decoded_host[idx] = host[i, :h, :w]
 
+    def flush_i(i_run):
+        """Decode a run of consecutive I records in one batched forward —
+        the encoder coded a window's fresh anchors together, so the run
+        length IS the encoder's batch size (shape parity again)."""
+        if not i_run:
+            return
+        bits = [IFrameBitstream.deserialize(blob) for _, blob in i_run]
+        dec = intra_coder.decompress_batch(
+            [b.to_strings() for b in bits], bits[0].z_shape
+        )
+        dec = jnp.clip(dec, 0.0, 1.0)
+        host = np.asarray(dec)
+        for j, (idx, _) in enumerate(i_run):
+            decoded[idx] = dec[j : j + 1]
+            decoded_host[idx] = host[j, :h, :w]
+
     chunk: list = []
+    i_run: list = []
     # Decode graphs trace under the encoder's recorded compute policy.
     with policy_from_name("bfloat16" if seq.dtype == 1 else "float32"):
         for ftyp, idx, blob in seq.frames:
             if ftyp == "I":
                 flush(chunk)
                 chunk = []
-                bits = IFrameBitstream.deserialize(blob)
-                dec = intra_coder.decompress(bits.to_strings(), bits.z_shape)
-                decoded[idx] = jnp.clip(dec, 0.0, 1.0)
-                decoded_host[idx] = np.asarray(decoded[idx][0, :h, :w])
+                i_run.append((idx, blob))
                 continue
+            flush_i(i_run)
+            i_run = []
             same_chunk = (
                 chunk
                 and len(chunk) < (seq.max_batch or 8)
@@ -123,6 +139,7 @@ def _decode_level_batched(args, seq, coder, intra_coder, originals,
                 flush(chunk)
                 chunk = []
             chunk.append((idx, blob))
+        flush_i(i_run)
         flush(chunk)
 
     os.makedirs(args.out_dir, exist_ok=True)

@@ -189,17 +189,27 @@ def _encode_level_batched(args, frames, coder, intra_coder):
 
     timing = bool(_os.environ.get("TPUVC_TIMING"))
 
-    def intra(idx):
-        ti = time.perf_counter()
-        x = device_frame(frames.u8(idx))
-        out = intra_coder.compress(x)
-        dec = jnp.clip(intra_coder.synthesize(out["y_hat"]), 0.0, 1.0)
-        anchors[idx] = dec
-        records.append(("I", idx, IFrameBitstream.from_compress(out).serialize()))
-        if timing:
-            print(f"  intra {idx}: {time.perf_counter() - ti:.2f}s")
-
     from tpuvc.ops.precision import policy_from_name
+
+    def intra_batch(fresh):
+        """Code a window's fresh anchors in one batched forward (decoder
+        groups the consecutive I records and replays the same B)."""
+        ti = time.perf_counter()
+        xs = jnp.concatenate(
+            [device_frame(frames.u8(b)) for b in fresh], axis=0
+        )
+        out = intra_coder.compress_batch(xs)
+        dec = jnp.clip(intra_coder.synthesize(out["y_hat"]), 0.0, 1.0)
+        z_shape = tuple(int(v) for v in out["shape"])
+        for j, b in enumerate(fresh):
+            anchors[b] = dec[j : j + 1]
+            y_strs, z_str = out["strings"][j]
+            blob = IFrameBitstream(
+                z_shape=z_shape, streams=list(y_strs) + [z_str]
+            ).serialize()
+            records.append(("I", b, blob))
+        if timing:
+            print(f"  intra_batch {fresh}: {time.perf_counter() - ti:.2f}s")
 
     def code_window(w0):
         """Code one window of up to --window_gops GOPs: the same hierarchy
@@ -208,9 +218,11 @@ def _encode_level_batched(args, frames, coder, intra_coder):
         starts = list(
             range(w0, min(w0 + max(1, args.window_gops) * gop, n - 1), gop)
         )
-        for b in [w0] + [g + gop for g in starts]:
-            if b not in anchors:
-                intra(b)
+        fresh = [
+            b for b in [w0] + [g + gop for g in starts] if b not in anchors
+        ]
+        if fresh:
+            intra_batch(fresh)
         # Frames before this window can no longer be referenced.
         for k in [k for k in anchors if k < w0]:
             del anchors[k]

@@ -271,9 +271,12 @@ class ELICCoder:
                 )
             )
 
-    def _code_group(self, i, curr_y, hyper, prev, mode, streams=None):
+    def _code_group(self, i, curr_y, hyper, prev, mode, streams=None,
+                    per_sample=False):
         """Shared enc/dec loop body. If ``streams`` is None: encode from
         curr_y, return (y_hat, [anchor_str, nonanchor_str]). Else decode.
+        per_sample=True codes one stream per (phase, sample) — batched
+        intra coding of independently-decodable frames.
 
         Float tensors never cross the host boundary: only int16 symbols
         and uint8 scale indexes move (the D2H/H2D link is the bottleneck
@@ -282,6 +285,7 @@ class ELICCoder:
         host-assembled formulation (same rounding, same values).
         """
         from tpuvc.coder import decode_with_indexes, encode_with_indexes
+        from tpuvc.coder.parallel import parallel_map
         from tpuvc.entropy.quant import quantize
 
         b, h, w = hyper.shape[0], hyper.shape[1], hyper.shape[2]
@@ -289,6 +293,36 @@ class ELICCoder:
         amask = np.asarray(anchor_mask(h, w)).astype(bool)
         ai, aj = np.nonzero(amask)
         ni, nj = np.nonzero(~amask)
+
+        def enc(sym, idx):
+            if not per_sample:
+                return encode_with_indexes(
+                    sym, idx, self.y_tables.cdfs, self.y_tables.cdf_lengths,
+                    self.y_tables.offsets,
+                )
+            return parallel_map(
+                lambda j: encode_with_indexes(
+                    sym[j], idx[j], self.y_tables.cdfs,
+                    self.y_tables.cdf_lengths, self.y_tables.offsets,
+                ),
+                range(b),
+            )
+
+        def dec(strs, idx):
+            if not per_sample:
+                return decode_with_indexes(
+                    strs, idx, self.y_tables.cdfs, self.y_tables.cdf_lengths,
+                    self.y_tables.offsets,
+                ).reshape(idx.shape)
+            return np.stack(
+                parallel_map(
+                    lambda j: decode_with_indexes(
+                        strs[j], idx[j], self.y_tables.cdfs,
+                        self.y_tables.cdf_lengths, self.y_tables.offsets,
+                    ).reshape(idx.shape[1:]),
+                    range(b),
+                )
+            )
 
         def phase(ys, prev_hat, idxs, stream):
             pi, pj = idxs
@@ -303,15 +337,9 @@ class ELICCoder:
                 sym = np.asarray(
                     quantize(ys, "symbols16", means=means)[:, pi, pj]
                 )
-                out = encode_with_indexes(
-                    sym, idx, self.y_tables.cdfs, self.y_tables.cdf_lengths,
-                    self.y_tables.offsets,
-                )
+                out = enc(sym, idx)
             else:
-                sym = decode_with_indexes(
-                    stream, idx, self.y_tables.cdfs,
-                    self.y_tables.cdf_lengths, self.y_tables.offsets,
-                ).reshape(idx.shape).astype(np.int16)
+                sym = dec(stream, idx).astype(np.int16)
                 out = stream
             vals = (
                 jnp.asarray(sym).astype(jnp.float32) + means[:, pi, pj]
@@ -371,6 +399,99 @@ class ELICCoder:
     def synthesize(self, y_hat):
         """Decoded image from the quantized latent (the encoder-side
         reconstruction: must equal what decompress produces)."""
+        return self._synthesis(self.variables, y_hat)
+
+    def compress_batch(self, x) -> dict:
+        """Batched intra compress with per-sample streams: device
+        transforms and group params at batch B, one independently-
+        decodable [y_strings..., z] list per frame (decompress_batch must
+        replay the same B — VSequenceBitstream mode=1 contract).
+
+        -> {"strings": [(y_strings, z_string)] * B, "shape", "y_hat"}.
+        """
+        from tpuvc.coder import encode_with_indexes
+        from tpuvc.coder.parallel import parallel_map
+
+        y, z = self._analysis(self.variables, x)
+        b = z.shape[0]
+        med = jnp.asarray(self.z_tables.medians)
+        z_sym_dev = quantize(z, "symbols16", means=med)
+        z_sym = np.asarray(z_sym_dev)
+        z_idx = np.broadcast_to(
+            np.arange(z.shape[-1], dtype=np.int32), z_sym.shape[1:]
+        )
+        z_strings = parallel_map(
+            lambda j: encode_with_indexes(
+                z_sym[j], z_idx, self.z_tables.cdfs,
+                self.z_tables.cdf_lengths, self.z_tables.offsets,
+            ),
+            range(b),
+        )
+        z_hat = z_sym_dev.astype(jnp.float32) + med
+        hyper = self._hyper(self.variables, z_hat)
+
+        per_frame_y: list[list] = [[] for _ in range(b)]
+        groups_hat = []
+        start = 0
+        for i, g in enumerate(self.module.groups):
+            curr_y = y[..., start : start + g]
+            start += g
+            prev = (
+                jnp.concatenate(groups_hat, axis=-1)
+                if i > 0
+                else jnp.zeros(curr_y.shape[:3] + (0,), jnp.float32)
+            )
+            g_hat, (a_strs, n_strs) = self._code_group(
+                i, curr_y, hyper, prev, None, per_sample=True
+            )
+            groups_hat.append(g_hat)
+            for j in range(b):
+                per_frame_y[j].extend([a_strs[j], n_strs[j]])
+        return {
+            "strings": [
+                (per_frame_y[j], z_strings[j]) for j in range(b)
+            ],
+            "shape": z.shape[1:3],
+            "y_hat": jnp.concatenate(groups_hat, axis=-1),
+        }
+
+    def decompress_batch(self, per_frame, shape):
+        """Inverse of compress_batch: [(y_strings, z_string)] * B in,
+        batched decoded images out (same B-shaped graphs)."""
+        from tpuvc.coder import decode_with_indexes
+        from tpuvc.coder.parallel import parallel_map
+
+        zh, zw = shape
+        zc = self.module.N
+        z_idx = np.broadcast_to(np.arange(zc, dtype=np.int32), (zh, zw, zc))
+        z_sym = np.stack(
+            parallel_map(
+                lambda f: decode_with_indexes(
+                    f[1], z_idx, self.z_tables.cdfs,
+                    self.z_tables.cdf_lengths, self.z_tables.offsets,
+                ).reshape(zh, zw, zc).astype(np.int16),
+                per_frame,
+            )
+        )
+        z_hat = jnp.asarray(z_sym).astype(jnp.float32) + jnp.asarray(
+            self.z_tables.medians
+        )
+        hyper = self._hyper(self.variables, z_hat)
+        groups_hat = []
+        for i in range(len(self.module.groups)):
+            prev = (
+                jnp.concatenate(groups_hat, axis=-1)
+                if i > 0
+                else jnp.zeros(hyper.shape[:3] + (0,), jnp.float32)
+            )
+            a_strs = [f[0][2 * i] for f in per_frame]
+            n_strs = [f[0][2 * i + 1] for f in per_frame]
+            g_hat, _ = self._code_group(
+                i, None, hyper, prev, None, streams=[a_strs, n_strs],
+                per_sample=True,
+            )
+            groups_hat.append(g_hat)
+        y_hat = jnp.concatenate(groups_hat, axis=-1)
         return self._synthesis(self.variables, y_hat)
 
     def decompress(self, strings, shape, batch: int = 1):
