@@ -364,13 +364,14 @@ class ELICCoder:
         y, z = self._analysis(self.variables, x)
         zc = z.shape[-1]
         med = jnp.asarray(self.z_tables.medians)
-        z_sym = np.asarray(quantize(z, "symbols", means=med))
+        z_sym_dev = quantize(z, "symbols16", means=med)
+        z_sym = np.asarray(z_sym_dev)
         z_idx = np.broadcast_to(np.arange(zc, dtype=np.int32), z_sym.shape)
         z_string = encode_with_indexes(
             z_sym, z_idx, self.z_tables.cdfs, self.z_tables.cdf_lengths,
             self.z_tables.offsets,
         )
-        z_hat = jnp.asarray(z_sym, jnp.float32) + med
+        z_hat = z_sym_dev.astype(jnp.float32) + med
         hyper = self._hyper(self.variables, z_hat)
 
         groups = []
