@@ -392,20 +392,26 @@ class PFrameDMCCoder:
         )
         z_sym = decode_with_indexes(
             string, z_idx, t.cdfs, t.cdf_lengths, t.offsets
-        ).reshape(batch, zh, zw, zc)
-        return jnp.asarray(z_sym, jnp.float32) + jnp.asarray(t.medians)
+        ).reshape(batch, zh, zw, zc).astype(np.int16)
+        return jnp.asarray(z_sym).astype(jnp.float32) + jnp.asarray(
+            t.medians
+        )
 
     def _decode_y(self, string, scales, means):
         import numpy as np
 
         from tpuvc.coder import decode_with_indexes
 
-        y_idx = np.asarray(self.gaussian.build_indexes(scales))
+        # uint8 index fetch + int16 symbol upload: the host link is the
+        # decode bottleneck (see PERF.md).
+        y_idx = np.asarray(
+            self.gaussian.build_indexes(scales).astype(jnp.uint8)
+        )
         y_sym = decode_with_indexes(
             string, y_idx, self.y_tables.cdfs, self.y_tables.cdf_lengths,
             self.y_tables.offsets,
-        ).reshape(y_idx.shape)
-        return jnp.asarray(y_sym, jnp.float32) + means
+        ).reshape(y_idx.shape).astype(np.int16)
+        return jnp.asarray(y_sym).astype(jnp.float32) + means
 
     def _enc_transforms(self, x, dpb, ratio, q):
         """Encode-side device chain with ON-DEVICE symbol quantization.

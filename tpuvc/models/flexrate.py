@@ -324,25 +324,27 @@ class GainedHyperpriorCoder:
                 lambda s: decode_with_indexes(
                     s[1], z_idx, self.z_tables.cdfs,
                     self.z_tables.cdf_lengths, self.z_tables.offsets,
-                ).reshape(zh, zw, zc),
+                ).reshape(zh, zw, zc).astype(np.int16),
                 strings,
             )
         )
-        z_hat = jnp.asarray(z_sym, jnp.float32) + jnp.asarray(
+        z_hat = jnp.asarray(z_sym).astype(jnp.float32) + jnp.asarray(
             self.z_tables.medians
         )
         scales, means = self._entropy_params(self.variables, z_hat, n, l)
-        y_idx = np.asarray(self.gaussian.build_indexes(scales))
+        y_idx = np.asarray(
+            self.gaussian.build_indexes(scales).astype(jnp.uint8)
+        )
         y_sym = np.stack(
             parallel_map(
                 lambda bs: decode_with_indexes(
                     bs[1][0], y_idx[bs[0]], self.y_tables.cdfs,
                     self.y_tables.cdf_lengths, self.y_tables.offsets,
-                ).reshape(y_idx.shape[1:]),
+                ).reshape(y_idx.shape[1:]).astype(np.int16),
                 enumerate(strings),
             )
         )
-        return jnp.asarray(y_sym, jnp.float32) + means
+        return jnp.asarray(y_sym).astype(jnp.float32) + means
 
     def decompress(self, strings, shape, n: int, l: float = 1.0, batch: int = 1):
         from tpuvc.coder import decode_with_indexes

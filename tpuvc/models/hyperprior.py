@@ -269,24 +269,26 @@ class HyperpriorCoder:
                 lambda s: decode_with_indexes(
                     s[1], z_idx, self.z_tables.cdfs,
                     self.z_tables.cdf_lengths, self.z_tables.offsets,
-                ).reshape(zh, zw, zc),
+                ).reshape(zh, zw, zc).astype(np.int16),
                 strings,
             )
         )
         med = jnp.asarray(self.z_tables.medians)
-        z_hat = jnp.asarray(z_sym, jnp.float32) + med
+        z_hat = jnp.asarray(z_sym).astype(jnp.float32) + med
         scales, means = self._entropy_params(self.variables, z_hat)
-        y_idx = np.asarray(self.gaussian.build_indexes(scales))
+        y_idx = np.asarray(
+            self.gaussian.build_indexes(scales).astype(jnp.uint8)
+        )
         y_sym = np.stack(
             parallel_map(
                 lambda bs: decode_with_indexes(
                     bs[1][0], y_idx[bs[0]], self.y_tables.cdfs,
                     self.y_tables.cdf_lengths, self.y_tables.offsets,
-                ).reshape(y_idx.shape[1:]),
+                ).reshape(y_idx.shape[1:]).astype(np.int16),
                 enumerate(strings),
             )
         )
-        return jnp.asarray(y_sym, jnp.float32) + means
+        return jnp.asarray(y_sym).astype(jnp.float32) + means
 
     def decompress(self, strings, shape, batch: int = 1) -> jnp.ndarray:
         from tpuvc.coder import decode_with_indexes
