@@ -120,7 +120,6 @@ def main(argv=None):
     from tpuvc.gop.adaptive import fractional_ratio_search
     from tpuvc.models.dmc import PFrameDMC, PFrameDMCCoder
     from tpuvc.models.elic import ELICCoder
-    from tpuvc.ops.pad import pad_to_multiple
 
     frames = load_frames(args)
     h, w = frames.size
