@@ -27,6 +27,9 @@ def build_parser():
     p.add_argument("--bin", default="bits.bin")
     p.add_argument("--out", default="decoded.png")
     p.add_argument("--weights", default="pretrained_weights")
+    p.add_argument("--compute_dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="must match the encoder's --compute_dtype")
     p.add_argument("--init", choices=["load", "random"], default="load")
     p.add_argument("--N", type=int, default=128)
     p.add_argument(
@@ -97,9 +100,14 @@ def main(argv=None):
         variables = init()
     coder = make(model, variables)
 
+    from tpuvc.ops.precision import policy_from_name
+
     x_before, size = prepare_frame(args.ref_1)
     x_after, _ = prepare_frame(args.ref_2)
-    x_hat = coder.decode(jnp.asarray(x_before), jnp.asarray(x_after), bits)
+    with policy_from_name(args.compute_dtype):
+        x_hat = coder.decode(
+            jnp.asarray(x_before), jnp.asarray(x_after), bits
+        )
     h, w = size
     img = float_to_uint8(jax.device_get(x_hat)[0, :h, :w])
     save_png(args.out, img)

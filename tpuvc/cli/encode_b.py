@@ -41,6 +41,10 @@ def build_parser():
     p.add_argument("--scale2", type=float, default=-0.5)
     p.add_argument("--weights", default="pretrained_weights")
     p.add_argument("--init", choices=["load", "random"], default="load")
+    p.add_argument("--compute_dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="layer compute policy; the decoder must be run "
+                        "with the same value (like --l / --n)")
     p.add_argument("--N", type=int, default=128)
     return p
 
@@ -114,32 +118,35 @@ def main(argv=None):
 
     from tpuvc.data.frames import prepare_frame
 
+    from tpuvc.ops.precision import policy_from_name
+
     model, variables = load_model(args)
     coder = make_coder(args, model, variables)
     x_before, _ = prepare_frame(args.ref_1)
     x_after, _ = prepare_frame(args.ref_2)
     x_current, _ = prepare_frame(args.current)
-    if args.family == "lhbdc":
-        bits = coder.encode(
-            jnp.asarray(x_before), jnp.asarray(x_current),
-            jnp.asarray(x_after), rate_id=args.l,
-        )
-    elif args.family == "flowguided_b":
-        bits = coder.encode(
-            jnp.asarray(x_before), jnp.asarray(x_after),
-            jnp.asarray(x_current), s=args.s, scale1=args.scale1,
-            scale2=args.scale2, down_ratio=args.down_ratio,
-        )
-    elif args.family == "deform_b":
-        bits = coder.encode(
-            jnp.asarray(x_before), jnp.asarray(x_after),
-            jnp.asarray(x_current), s=args.s,
-        )
-    else:
-        bits = coder.encode(
-            jnp.asarray(x_before), jnp.asarray(x_current),
-            jnp.asarray(x_after), n=args.n, l=args.interp,
-        )
+    with policy_from_name(args.compute_dtype):
+        if args.family == "lhbdc":
+            bits = coder.encode(
+                jnp.asarray(x_before), jnp.asarray(x_current),
+                jnp.asarray(x_after), rate_id=args.l,
+            )
+        elif args.family == "flowguided_b":
+            bits = coder.encode(
+                jnp.asarray(x_before), jnp.asarray(x_after),
+                jnp.asarray(x_current), s=args.s, scale1=args.scale1,
+                scale2=args.scale2, down_ratio=args.down_ratio,
+            )
+        elif args.family == "deform_b":
+            bits = coder.encode(
+                jnp.asarray(x_before), jnp.asarray(x_after),
+                jnp.asarray(x_current), s=args.s,
+            )
+        else:
+            bits = coder.encode(
+                jnp.asarray(x_before), jnp.asarray(x_current),
+                jnp.asarray(x_after), n=args.n, l=args.interp,
+            )
     with open(args.bin, "wb") as f:
         f.write(bits.serialize())
     print(f"wrote {bits.num_bytes} bytes to {args.bin}")
