@@ -113,6 +113,55 @@ class TestLevelBatchCoding:
         assert bits[0].res_y != bits[1].res_y
 
 
+class TestMeshShardedCoding:
+    """Mesh-sharded level batches: with the same level_batch_sharder on
+    both sides (the VSequenceBitstream.mesh contract), batched decode
+    reproduces batched encode reconstructions bit-for-bit."""
+
+    def test_mesh2_batch2_round_trip(self, coder, rng):
+        if len(jax.devices()) < 2:
+            pytest.skip("needs >=2 devices")
+        from tpuvc.parallel.mesh import level_batch_sharder, make_mesh
+
+        model, variables, _ = coder
+        c = LHBDCCoder(model, variables)
+        c.set_shard(level_batch_sharder(make_mesh(2)))
+        base = rng.random((2, 192, 192, 3), dtype=np.float32)
+        drift = 0.03 * rng.standard_normal((2, 192, 192, 3)).astype(np.float32)
+        xb = jnp.asarray(base)
+        xc = jnp.clip(jnp.asarray(base + 0.5 * drift), 0, 1)
+        xa = jnp.clip(jnp.asarray(base + drift), 0, 1)
+
+        bits, recon = c.encode_level_batch(xb, xc, xa, rate_id=845)
+        parsed = [BFrameBitstream.deserialize(b.serialize()) for b in bits]
+        x_hat = c.decode_level_batch(xb, xa, parsed)
+        np.testing.assert_array_equal(np.asarray(recon), np.asarray(x_hat))
+
+    def test_mesh2_flexrate_round_trip(self, rng):
+        if len(jax.devices()) < 2:
+            pytest.skip("needs >=2 devices")
+        from tpuvc.models.flexrate import BidirFlowRef, FlexRateCoder
+        from tpuvc.parallel.mesh import level_batch_sharder, make_mesh
+
+        model = BidirFlowRef(N=32)
+        x0 = jnp.zeros((1, 128, 128, 3), jnp.float32)
+        variables = model.init(
+            jax.random.key(2), x0, x0, x0, 0, 1.0, "dequantize"
+        )
+        c = FlexRateCoder(model, variables)
+        c.set_shard(level_batch_sharder(make_mesh(2)))
+        base = rng.random((2, 128, 128, 3), dtype=np.float32)
+        drift = 0.03 * rng.standard_normal((2, 128, 128, 3)).astype(np.float32)
+        xb = jnp.asarray(base)
+        xc = jnp.clip(jnp.asarray(base + 0.5 * drift), 0, 1)
+        xa = jnp.clip(jnp.asarray(base + drift), 0, 1)
+
+        bits, recon = c.encode_level_batch(xb, xc, xa, n=1, l=0.7)
+        parsed = [BFrameBitstream.deserialize(b.serialize()) for b in bits]
+        x_hat = c.decode_level_batch(xb, xa, parsed)
+        np.testing.assert_array_equal(np.asarray(recon), np.asarray(x_hat))
+
+
 class TestMixedPrecisionCoding:
     """bf16 layer compute is symmetric: decode traced under the same
     policy reproduces the encoder's reconstruction bit-for-bit (the

@@ -150,6 +150,38 @@ def _decoded_psnrs(out_dir, n=9):
     ]
 
 
+def test_level_batched_mesh_round_trip(tmp_path):
+    """mode=1 with --mesh 2: level-batch device stages shard over a
+    2-device mesh (virtual CPU devices from conftest); the header records
+    the mesh size and the decoder replays identically-sharded graphs.
+    Encoder reconstructions and decoder outputs must still agree (the
+    entropy decode desyncs otherwise)."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >=2 devices")
+    from tpuvc.cli.decode_v import main as decode_main
+    from tpuvc.cli.encode_v import main as encode_main
+
+    bin_path = str(tmp_path / "seq_mesh.tpvb")
+    out_dir = str(tmp_path / "dec_mesh")
+    encode_main(SMALL + ["--family", "lhbdc", "--bin", bin_path,
+                         "--level_batched", "--max_batch", "2",
+                         "--mesh", "2"])
+    with open(bin_path, "rb") as f:
+        seq = VSequenceBitstream.deserialize(f.read())
+    assert seq.mode == 1 and seq.mesh == 2
+
+    model_args = SMALL[SMALL.index("--init"):]
+    decode_main(model_args + ["--bin", bin_path, "--out_dir", out_dir,
+                              "--synthetic", "9"])
+    assert sorted(os.listdir(out_dir)) == [
+        f"frame_{i:05d}.png" for i in range(9)
+    ]
+    ps = _decoded_psnrs(out_dir)
+    assert all(3.0 < p < 60.0 for p in ps), ps
+
+
 def test_level_batched_window_gops_round_trip(tmp_path):
     """mode=1 with cross-GOP windows (window_gops=2): one window spans
     both GOPs; the decoder regroups by window + level."""

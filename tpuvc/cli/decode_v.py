@@ -64,6 +64,19 @@ def _decode_level_batched(args, seq, coder, intra_coder, originals,
     h, w, n = seq.height, seq.width, seq.n_frames
     gop = seq.gop
     window = max(1, seq.window_gops) * gop
+    if getattr(seq, "mesh", 1) > 1:
+        # The encoder sharded its level batches over a mesh; replay the
+        # same placement (program identity — see VSequenceBitstream.mesh).
+        import jax
+
+        from tpuvc.parallel.mesh import level_batch_sharder, make_mesh
+
+        if len(jax.devices()) < seq.mesh:
+            raise SystemExit(
+                f"stream was coded over a {seq.mesh}-device mesh but only "
+                f"{len(jax.devices())} devices are visible"
+            )
+        coder.set_shard(level_batch_sharder(make_mesh(seq.mesh)))
     table = gop_coding_table(gop)
     level_of = {
         f: li for li, lv in enumerate(table.frames_by_level()) for f in lv

@@ -65,6 +65,11 @@ def build_parser():
                         "batch shapes)")
     p.add_argument("--max_batch", type=int, default=8,
                    help="per-forward batch cap for --level_batched")
+    p.add_argument("--mesh", type=int, default=1,
+                   help="shard --level_batched device stages over an "
+                        "N-device mesh (lhbdc/flexrate families; recorded "
+                        "in the header — decode_v must use the same mesh "
+                        "size for the entropy decode to stay bit-identical)")
     p.add_argument("--window_gops", type=int, default=1,
                    help="GOPs coded together per window in --level_batched "
                         "mode: the same hierarchy level across the window's "
@@ -179,6 +184,17 @@ def _encode_level_batched(args, frames, coder, intra_coder):
             "drop the tail or use the sequential mode"
         )
     table = gop_coding_table(gop)
+    if args.mesh > 1:
+        # Shard every level-batch device stage over the mesh; host rANS
+        # stays per-frame. The header records the mesh size (see
+        # VSequenceBitstream.mesh for why the decoder must match it).
+        if not hasattr(coder, "set_shard"):
+            raise SystemExit(
+                f"--mesh is not supported for family {args.family!r} yet"
+            )
+        from tpuvc.parallel.mesh import level_batch_sharder, make_mesh
+
+        coder.set_shard(level_batch_sharder(make_mesh(args.mesh)))
     records: list = []
     anchors: dict = {}
     t0 = time.perf_counter()
@@ -291,7 +307,7 @@ def _encode_level_batched(args, frames, coder, intra_coder):
         family=args.family, width=w, height=h, gop=gop, n_frames=n,
         frames=records, mode=1, max_batch=args.max_batch,
         dtype=1 if args.compute_dtype == "bfloat16" else 0,
-        window_gops=max(1, args.window_gops),
+        window_gops=max(1, args.window_gops), mesh=max(1, args.mesh),
     )
     blob = seq.serialize()
     with open(args.bin, "wb") as f:
@@ -332,6 +348,9 @@ def main(argv=None):
                 "ratio search breaks level batching); drop one flag"
             )
         return _encode_level_batched(args, frames, coder, intra_coder)
+
+    if args.mesh > 1:
+        raise SystemExit("--mesh requires --level_batched")
 
     from tpuvc.ops.precision import policy_from_name
 

@@ -338,11 +338,18 @@ class VSequenceBitstream:
     under the same policy — like the batch shapes, the numerics must match
     for the re-derived entropy parameters to stay bit-identical.
 
-    Layout: b"TPV1" | uint8 family | uint16 width | uint16 height |
+    ``mesh`` (>=1) records how many mesh devices the encoder's level
+    batches were sharded over (tpuvc.parallel.level_batch_sharder): input
+    sharding is part of XLA program identity, so the decoder must place
+    its batches over a same-sized mesh for the re-derived entropy
+    parameters to stay bit-identical.
+
+    Layout: b"TPV3" | uint8 family | uint16 width | uint16 height |
     uint16 gop | uint16 n_frames | uint8 mode | uint8 max_batch |
-    uint8 dtype | uint8 window_gops | per frame in coding order:
-    uint8 type (0=I, 1=B) | uint16 display_idx | uint32 length | blob.
-    width/height are the unpadded display size.
+    uint8 dtype | uint8 window_gops | uint8 mesh | per frame in coding
+    order: uint8 type (0=I, 1=B) | uint16 display_idx | uint32 length |
+    blob. width/height are the unpadded display size. TPV2 streams (no
+    mesh field) still parse, with mesh=1.
     """
 
     family: str
@@ -355,9 +362,11 @@ class VSequenceBitstream:
     max_batch: int = 0
     dtype: int = 0
     window_gops: int = 1
+    mesh: int = 1
 
-    MAGIC = b"TPV2"
-    HEADER = "<4sBHHHHBBBB"
+    MAGIC = b"TPV3"
+    HEADER = "<4sBHHHHBBBBB"
+    HEADER_V2 = "<4sBHHHHBBBB"
 
     @property
     def num_bytes(self) -> int:
@@ -371,7 +380,7 @@ class VSequenceBitstream:
                 self.HEADER, self.MAGIC, B_FAMILY_IDS[self.family],
                 self.width, self.height, self.gop, self.n_frames,
                 self.mode, self.max_batch, self.dtype,
-                max(1, self.window_gops),
+                max(1, self.window_gops), max(1, self.mesh),
             )
         ]
         for typ, idx, blob in self.frames:
@@ -383,17 +392,24 @@ class VSequenceBitstream:
 
     @classmethod
     def deserialize(cls, blob: bytes) -> "VSequenceBitstream":
-        hsize = struct.calcsize(cls.HEADER)
-        magic, fam, w, h, gop, n, mode, mb, dtype, wg = struct.unpack(
-            cls.HEADER, blob[:hsize]
-        )
-        if magic != cls.MAGIC:
-            if magic == b"TPV1":
-                raise ValueError(
-                    "TPV1 stream from an older tpuvc build (no dtype "
-                    "field); re-encode with this version"
-                )
-            raise ValueError(f"bad sequence magic: {magic!r}")
+        if blob[:4] == b"TPV2":  # pre-mesh header, mesh=1
+            hsize = struct.calcsize(cls.HEADER_V2)
+            magic, fam, w, h, gop, n, mode, mb, dtype, wg = struct.unpack(
+                cls.HEADER_V2, blob[:hsize]
+            )
+            mesh = 1
+        else:
+            hsize = struct.calcsize(cls.HEADER)
+            magic, fam, w, h, gop, n, mode, mb, dtype, wg, mesh = (
+                struct.unpack(cls.HEADER, blob[:hsize])
+            )
+            if magic != cls.MAGIC:
+                if magic == b"TPV1":
+                    raise ValueError(
+                        "TPV1 stream from an older tpuvc build (no dtype "
+                        "field); re-encode with this version"
+                    )
+                raise ValueError(f"bad sequence magic: {magic!r}")
         off = hsize
         frames = []
         for k in range(n):
@@ -416,5 +432,5 @@ class VSequenceBitstream:
         return cls(
             family=B_FAMILY_NAMES[fam], width=w, height=h, gop=gop,
             n_frames=n, frames=frames, mode=mode, max_batch=mb, dtype=dtype,
-            window_gops=max(1, wg),
+            window_gops=max(1, wg), mesh=max(1, mesh),
         )

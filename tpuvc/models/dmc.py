@@ -351,8 +351,19 @@ class PFrameDMCCoder:
         # the point is overlapping host rANS with the NEXT frame's device
         # work, not parallel host coding.
         self._pool = ThreadPoolExecutor(max_workers=1)
+        gaussian = self.gaussian
+
+        def _with_idx(params):
+            # Shared enc/dec graphs: entropy params + uint8 rANS bucket
+            # indexes in one program (one fewer graph load per shape; the
+            # decode-side index fetch stays uint8).
+            scales, means = params
+            return means, gaussian.build_indexes(scales).astype(jnp.uint8)
+
         self._mv_params = jax.jit(
-            lambda v, z_hat: m.apply(v, z_hat, method=PFrameDMC.mv_params)
+            lambda v, z_hat: _with_idx(
+                m.apply(v, z_hat, method=PFrameDMC.mv_params)
+            )
         )
         self._mv_synthesis = jax.jit(
             lambda v, y_hat, ratio, q: m.apply(
@@ -371,7 +382,9 @@ class PFrameDMCCoder:
             )
         )
         self._frame_params = jax.jit(
-            lambda v, z_hat: m.apply(v, z_hat, method=PFrameDMC.frame_params)
+            lambda v, z_hat: _with_idx(
+                m.apply(v, z_hat, method=PFrameDMC.frame_params)
+            )
         )
         self._frame_synthesis = jax.jit(
             lambda v, y_hat, ctx, q: m.apply(
@@ -397,16 +410,15 @@ class PFrameDMCCoder:
             t.medians
         )
 
-    def _decode_y(self, string, scales, means):
+    def _decode_y(self, string, y_idx_dev, means):
         import numpy as np
 
         from tpuvc.coder import decode_with_indexes
 
         # uint8 index fetch + int16 symbol upload: the host link is the
-        # decode bottleneck (see PERF.md).
-        y_idx = np.asarray(
-            self.gaussian.build_indexes(scales).astype(jnp.uint8)
-        )
+        # decode bottleneck (see PERF.md). Indexes come pre-built from the
+        # shared params graph.
+        y_idx = np.asarray(y_idx_dev)
         y_sym = decode_with_indexes(
             string, y_idx, self.y_tables.cdfs, self.y_tables.cdf_lengths,
             self.y_tables.offsets,
@@ -445,7 +457,7 @@ class PFrameDMCCoder:
         mv_y, mv_z = self._mv_analysis[ratio](self.variables, x, ref, q)
         mv_z_sym = quantize(mv_z, "symbols16", means=med_mv)
         mv_z_hat = mv_z_sym.astype(jnp.float32) + med_mv
-        mv_scales, mv_means = self._mv_params(self.variables, mv_z_hat)
+        mv_means, mv_y_idx = self._mv_params(self.variables, mv_z_hat)
         mv_y_sym = quantize(mv_y, "symbols16", means=mv_means)
         mv_y_hat = mv_y_sym.astype(jnp.float32) + mv_means
         mv_hat = self._mv_synthesis(self.variables, mv_y_hat, ratio, q)
@@ -455,7 +467,7 @@ class PFrameDMCCoder:
         y, z = self._frame_analysis(self.variables, x, context, q)
         z_sym = quantize(z, "symbols16", means=med_z)
         z_hat = z_sym.astype(jnp.float32) + med_z
-        scales, means = self._frame_params(self.variables, z_hat)
+        means, y_idx = self._frame_params(self.variables, z_hat)
         y_sym = quantize(y, "symbols16", means=means)
         y_hat = y_sym.astype(jnp.float32) + means
         x_hat, feature = self._frame_synthesis(
@@ -464,10 +476,10 @@ class PFrameDMCCoder:
         return {
             "mv_z_sym": mv_z_sym,
             "mv_y_sym": mv_y_sym,
-            "mv_y_idx": self.gaussian.build_indexes(mv_scales).astype(jnp.uint8),
+            "mv_y_idx": mv_y_idx,
             "z_sym": z_sym,
             "y_sym": y_sym,
-            "y_idx": self.gaussian.build_indexes(scales).astype(jnp.uint8),
+            "y_idx": y_idx,
             "x_hat": jnp.clip(x_hat, 0.0, 1.0),
             "feature": feature,
         }
@@ -533,16 +545,16 @@ class PFrameDMCCoder:
         batch = dpb["ref_frame"].shape[0]
 
         mv_z_hat = self._decode_z("mv_coder", mv_z_str, bits.z_shape, batch)
-        scales, means = self._mv_params(self.variables, mv_z_hat)
-        mv_y_hat = self._decode_y(mv_y_str, scales, means)
+        means, y_idx = self._mv_params(self.variables, mv_z_hat)
+        mv_y_hat = self._decode_y(mv_y_str, y_idx, means)
         mv_hat = self._mv_synthesis(self.variables, mv_y_hat, ratio, q)
 
         context, _ = self._compensate(
             self.variables, dpb["ref_frame"], dpb.get("ref_feature"), mv_hat
         )
         z_hat = self._decode_z("y_coder", z_str, bits.z_shape, batch)
-        scales, means = self._frame_params(self.variables, z_hat)
-        y_hat = self._decode_y(y_str, scales, means)
+        means, y_idx = self._frame_params(self.variables, z_hat)
+        y_hat = self._decode_y(y_str, y_idx, means)
         x_hat, feature = self._frame_synthesis(
             self.variables, y_hat, context, q
         )

@@ -209,22 +209,44 @@ class GainedHyperpriorCoder:
 
         self.module = module
         self.variables = variables
+        # Optional mesh-sharding rule for level-batched coding — see
+        # HyperpriorCoder.shard (same contract).
+        self.shard = None
         eb = FactorizedBottleneck(channels=module.N)
         self.z_tables = FactorizedTables.from_module(
             eb, {"params": variables["params"]["entropy_bottleneck"]}
         )
         self.gaussian = GaussianConditional()
         self.y_tables = self.gaussian.build_tables()
+        from tpuvc.entropy.quant import quantize
+
+        gaussian = self.gaussian
+
+        def params_idx(v, z_hat, n, l):
+            # Shared enc/dec graph: entropy params + uint8 rANS indexes
+            # folded together (see HyperpriorCoder — one fewer graph load
+            # and a uint8 fetch on both sides).
+            scales, means = module.apply(
+                v, z_hat, n, l, method=GainedHyperprior.gained_entropy_params
+            )
+            return means, gaussian.build_indexes(scales).astype(jnp.uint8)
+
+        def analyze_quantized(v, x, n, l):
+            # Encoder-only fused front: gained analysis + z quantization.
+            y, z = module.apply(
+                v, x, n, l, method=GainedHyperprior.gained_analysis
+            )
+            med = jnp.asarray(self.z_tables.medians)
+            z_sym = quantize(z, "symbols16", means=med)
+            return y, z_sym, z_sym.astype(jnp.float32) + med
+
         self._analysis = jax.jit(
             lambda v, x, n, l: module.apply(
                 v, x, n, l, method=GainedHyperprior.gained_analysis
             )
         )
-        self._entropy_params = jax.jit(
-            lambda v, z, n, l: module.apply(
-                v, z, n, l, method=GainedHyperprior.gained_entropy_params
-            )
-        )
+        self._analyze_quantized = jax.jit(analyze_quantized)
+        self._params_idx = jax.jit(params_idx)
         self._synthesis = jax.jit(
             lambda v, y, n, l: module.apply(
                 v, y, n, l, method=GainedHyperprior.gained_synthesis
@@ -232,25 +254,27 @@ class GainedHyperpriorCoder:
         )
 
     def compress(self, x, n: int, l: float = 1.0) -> dict:
+        return self.compress_from(
+            *self._analyze_quantized(self.variables, x, n, l), n, l
+        )
+
+    def compress_from(self, scaled_y, z_sym_dev, z_hat, n: int,
+                      l: float = 1.0) -> dict:
+        """Host half of compress from a precomputed analysis triple (lets
+        callers fuse the gained analysis into a larger encoder graph)."""
         from tpuvc.coder import encode_with_indexes
         from tpuvc.entropy.quant import quantize
 
-        scaled_y, scaled_z = self._analysis(self.variables, x, n, l)
-        zc = scaled_z.shape[-1]
-        med = jnp.asarray(self.z_tables.medians)
-        z_sym_dev = quantize(scaled_z, "symbols16", means=med)
         z_sym = np.asarray(z_sym_dev)
-        z_idx = np.broadcast_to(np.arange(zc, dtype=np.int32), z_sym.shape)
+        z_idx = np.broadcast_to(
+            np.arange(z_sym.shape[-1], dtype=np.int32), z_sym.shape
+        )
         z_string = encode_with_indexes(
             z_sym, z_idx, self.z_tables.cdfs, self.z_tables.cdf_lengths,
             self.z_tables.offsets,
         )
-        # Rebuild from the device-resident quantized arrays (no re-upload).
-        z_hat = z_sym_dev.astype(jnp.float32) + med
-        scales, means = self._entropy_params(self.variables, z_hat, n, l)
-        y_idx = np.asarray(
-            self.gaussian.build_indexes(scales).astype(jnp.uint8)
-        )
+        means, y_idx_dev = self._params_idx(self.variables, z_hat, n, l)
+        y_idx = np.asarray(y_idx_dev)
         y_sym_dev = quantize(scaled_y, "symbols16", means=means)
         y_sym = np.asarray(y_sym_dev)
         y_string = encode_with_indexes(
@@ -259,33 +283,38 @@ class GainedHyperpriorCoder:
         )
         return {
             "strings": [y_string, z_string],
-            "shape": scaled_z.shape[1:3],
+            "shape": tuple(z_sym.shape[1:3]),
             "y_hat": y_sym_dev.astype(jnp.float32) + means,
         }
 
     def synthesize(self, y_hat, n: int, l: float = 1.0):
         """Decoded output from the quantized gained latent."""
+        if self.shard is not None:
+            y_hat = self.shard(y_hat)
         return self._synthesis(self.variables, y_hat, n, l)
 
     def compress_batch(self, x, n: int, l: float = 1.0) -> dict:
         """Batched compress with per-sample streams (level-batched coding;
         see HyperpriorCoder.compress_batch — decoder must replay the same
         B-shaped graphs)."""
+        return self.compress_batch_from(
+            *self._analyze_quantized(self.variables, x, n, l), n, l
+        )
+
+    def compress_batch_from(self, scaled_y, z_sym_dev, z_hat, n: int,
+                            l: float = 1.0) -> dict:
+        """Host half of compress_batch from a precomputed analysis triple."""
         from tpuvc.coder import encode_with_indexes
         from tpuvc.entropy.quant import quantize
 
-        scaled_y, scaled_z = self._analysis(self.variables, x, n, l)
-        med = jnp.asarray(self.z_tables.medians)
-        z_sym_dev = quantize(scaled_z, "symbols16", means=med)
         z_sym = np.asarray(z_sym_dev)
         z_idx = np.broadcast_to(
-            np.arange(scaled_z.shape[-1], dtype=np.int32), z_sym.shape[1:]
+            np.arange(z_sym.shape[-1], dtype=np.int32), z_sym.shape[1:]
         )
-        z_hat = z_sym_dev.astype(jnp.float32) + med
-        scales, means = self._entropy_params(self.variables, z_hat, n, l)
-        y_idx = np.asarray(
-            self.gaussian.build_indexes(scales).astype(jnp.uint8)
-        )
+        if self.shard is not None:
+            z_hat = self.shard(z_hat)
+        means, y_idx_dev = self._params_idx(self.variables, z_hat, n, l)
+        y_idx = np.asarray(y_idx_dev)
         y_sym_dev = quantize(scaled_y, "symbols16", means=means)
         y_sym = np.asarray(y_sym_dev)
 
@@ -302,10 +331,10 @@ class GainedHyperpriorCoder:
 
         from tpuvc.coder.parallel import parallel_map
 
-        strings = parallel_map(pack, range(x.shape[0]))
+        strings = parallel_map(pack, range(z_sym.shape[0]))
         return {
             "strings": strings,
-            "shape": scaled_z.shape[1:3],
+            "shape": tuple(z_sym.shape[1:3]),
             "y_hat": y_sym_dev.astype(jnp.float32) + means,
         }
 
@@ -331,10 +360,10 @@ class GainedHyperpriorCoder:
         z_hat = jnp.asarray(z_sym).astype(jnp.float32) + jnp.asarray(
             self.z_tables.medians
         )
-        scales, means = self._entropy_params(self.variables, z_hat, n, l)
-        y_idx = np.asarray(
-            self.gaussian.build_indexes(scales).astype(jnp.uint8)
-        )
+        if self.shard is not None:
+            z_hat = self.shard(z_hat)
+        means, y_idx_dev = self._params_idx(self.variables, z_hat, n, l)
+        y_idx = np.asarray(y_idx_dev)
         y_sym = np.stack(
             parallel_map(
                 lambda bs: decode_with_indexes(
@@ -358,8 +387,8 @@ class GainedHyperpriorCoder:
             self.z_tables.offsets,
         ).reshape(batch, zh, zw, zc)
         z_hat = jnp.asarray(z_sym, jnp.float32) + jnp.asarray(self.z_tables.medians)
-        scales, means = self._entropy_params(self.variables, z_hat, n, l)
-        y_idx = np.asarray(self.gaussian.build_indexes(scales))
+        means, y_idx_dev = self._params_idx(self.variables, z_hat, n, l)
+        y_idx = np.asarray(y_idx_dev)
         y_sym = decode_with_indexes(
             y_string, y_idx, self.y_tables.cdfs, self.y_tables.cdf_lengths,
             self.y_tables.offsets,
@@ -379,6 +408,7 @@ class FlexRateCoder:
     def __init__(self, model: BidirFlowRef, variables):
         self.model = model
         self.variables = variables
+        self.shard = None  # see set_shard
         params = variables["params"]
         self.flow_coder = GainedHyperpriorCoder(
             FlexFlowCompressor(N=model.N, n_levels=model.n_levels),
@@ -396,6 +426,44 @@ class FlexRateCoder:
                 v, xb, xa, mvb, mva, method=BidirFlowRef.compensate
             )
         )
+
+        # Encoder-only fused fronts (see LHBDCCoder): flow prediction +
+        # 19ch conditioning concat + gained MV analysis in one graph;
+        # residual formation + gained residual analysis in another. The
+        # decoder-shared graphs (_process, _params_idx, _synthesis,
+        # _compensate) stay standalone so enc/dec remain bit-identical.
+        from tpuvc.entropy.quant import quantize
+
+        def _flow_front_m(m, xb, xa, xc, n, l):
+            _, _, context = m.process(xb, xa)
+            x_input = jnp.concatenate([context, xc], axis=-1)
+            return m.flow_compressor.gained_analysis(x_input, n, l)
+
+        def flow_front(v, xb, xa, xc, n, l):
+            y, z = model.apply(v, xb, xa, xc, n, l, method=_flow_front_m)
+            med = jnp.asarray(self.flow_coder.z_tables.medians)
+            z_sym = quantize(z, "symbols16", means=med)
+            return y, z_sym, z_sym.astype(jnp.float32) + med
+
+        def _res_front_m(m, xc, x_comp, n, l):
+            return m.residual_compressor.gained_analysis(xc - x_comp, n, l)
+
+        def res_front(v, xc, x_comp, n, l):
+            y, z = model.apply(v, xc, x_comp, n, l, method=_res_front_m)
+            med = jnp.asarray(self.res_coder.z_tables.medians)
+            z_sym = quantize(z, "symbols16", means=med)
+            return y, z_sym, z_sym.astype(jnp.float32) + med
+
+        self._flow_front = jax.jit(flow_front)
+        self._res_front = jax.jit(res_front)
+
+    def set_shard(self, shard):
+        """Enable mesh-sharded level-batched coding (see
+        LHBDCCoder.set_shard — same contract, recorded in the stream
+        header as VSequenceBitstream.mesh)."""
+        self.shard = shard
+        self.flow_coder.shard = shard
+        self.res_coder.shard = shard
 
     def _predict(self, x_before, x_after, mv_strings, mv_shape, n, l):
         mv_before, mv_after, _ = self._process(self.variables, x_before, x_after)
@@ -418,13 +486,18 @@ class FlexRateCoder:
         LHBDCCoder.encode_recon)."""
         from tpuvc.coder.container import BFrameBitstream
 
-        _, _, context = self._process(self.variables, x_before, x_after)
-        x_input = jnp.concatenate([context, x_current], axis=-1)
-        mv = self.flow_coder.compress(x_input, n, l)
+        mv = self.flow_coder.compress_from(
+            *self._flow_front(
+                self.variables, x_before, x_after, x_current, n, l
+            ),
+            n, l,
+        )
         x_comp = self._predict(
             x_before, x_after, mv["strings"], mv["shape"], n, l
         )
-        res = self.res_coder.compress(x_current - x_comp, n, l)
+        res = self.res_coder.compress_from(
+            *self._res_front(self.variables, x_current, x_comp, n, l), n, l
+        )
         rate_id = n * 100000 + int(round(l * 1000))
         bits = BFrameBitstream(
             rate_id=rate_id,
@@ -456,11 +529,20 @@ class FlexRateCoder:
         LHBDCCoder.encode_level_batch)."""
         from tpuvc.coder.container import BFrameBitstream
 
-        _, _, context = self._process(self.variables, x_before, x_after)
-        x_input = jnp.concatenate([context, x_current], axis=-1)
-        mv = self.flow_coder.compress_batch(x_input, n, l)
+        if self.shard is not None:
+            x_before, x_current, x_after = self.shard(
+                (x_before, x_current, x_after)
+            )
+        mv = self.flow_coder.compress_batch_from(
+            *self._flow_front(
+                self.variables, x_before, x_after, x_current, n, l
+            ),
+            n, l,
+        )
         x_comp = self._predict_batch(x_before, x_after, mv["y_hat"], n, l)
-        res = self.res_coder.compress_batch(x_current - x_comp, n, l)
+        res = self.res_coder.compress_batch_from(
+            *self._res_front(self.variables, x_current, x_comp, n, l), n, l
+        )
         x_hat = x_comp + self.res_coder.synthesize(res["y_hat"], n, l)
         rate_id = n * 100000 + int(round(l * 1000))
         bits = [
@@ -478,6 +560,8 @@ class FlexRateCoder:
         return bits, x_hat
 
     def decode_level_batch(self, x_before, x_after, bitstreams):
+        if self.shard is not None:
+            x_before, x_after = self.shard((x_before, x_after))
         n, l = self.parse_rate_id(bitstreams[0].rate_id)
         flow_y_hat = self.flow_coder.decompress_batch(
             [(b.mv_y, b.mv_z) for b in bitstreams],

@@ -148,6 +148,13 @@ class HyperpriorCoder:
     def __init__(self, module: MeanScaleHyperprior, variables):
         self.module = module
         self.variables = variables
+        # Optional mesh-sharding rule for level-batched coding (set by the
+        # sequence CLIs from parallel.level_batch_sharder): applied to the
+        # inputs of every SHARED enc/dec graph so both sides compile the
+        # same partitioned program — input sharding is part of program
+        # identity, and the decoder's re-derived entropy parameters must
+        # be bit-identical to the encoder's.
+        self.shard = None
         # CDF tables: built once per trained model (the reference's
         # ``.update(force=True)``, LHBDC/encode_B.py:34-35).
         eb = FactorizedBottleneck(channels=module.N)
@@ -157,38 +164,62 @@ class HyperpriorCoder:
         self.gaussian = GaussianConditional()
         self.y_tables = self.gaussian.build_tables()
 
+        gaussian = self.gaussian
+
+        def params_idx(v, z_hat):
+            # Entropy params + rANS bucket indexes in ONE shared graph:
+            # encoder and decoder both run it (identical program => the
+            # bit-identical outputs real coding requires), and folding
+            # build_indexes here keeps the host fetch at uint8 and drops
+            # an eager dispatch per stream (slow-link warm-up: one fewer
+            # graph load per batch shape).
+            scales, means = module.apply(
+                v, z_hat, method=MeanScaleHyperprior.entropy_params
+            )
+            return means, gaussian.build_indexes(scales).astype(jnp.uint8)
+
+        def analyze_quantized(v, x):
+            # Encoder-only front: analysis + z quantization fused. Safe to
+            # fuse across the reference's graph boundaries because nothing
+            # here has a decoder counterpart (the decoder starts from the
+            # transmitted z symbols).
+            y, z = module.apply(v, x, method=MeanScaleHyperprior.analysis)
+            med = jnp.asarray(self.z_tables.medians)
+            z_sym = quantize(z, "symbols16", means=med)
+            return y, z_sym, z_sym.astype(jnp.float32) + med
+
         self._analysis = jax.jit(
             lambda v, x: module.apply(v, x, method=MeanScaleHyperprior.analysis)
         )
-        self._entropy_params = jax.jit(
-            lambda v, z: module.apply(v, z, method=MeanScaleHyperprior.entropy_params)
-        )
+        self._analyze_quantized = jax.jit(analyze_quantized)
+        self._params_idx = jax.jit(params_idx)
         self._synthesis = jax.jit(
             lambda v, y: module.apply(v, y, method=MeanScaleHyperprior.synthesis)
         )
 
     def compress(self, x: jnp.ndarray) -> dict:
+        return self.compress_from(*self._analyze_quantized(self.variables, x))
+
+    def compress_from(self, y, z_sym_dev, z_hat) -> dict:
+        """Host half of compress, from a precomputed (y, z symbols, z_hat)
+        triple — lets callers fuse the analysis into a larger encoder-only
+        graph (e.g. LHBDC's current_flows + MV analysis)."""
         from tpuvc.coder import encode_with_indexes
 
-        y, z = self._analysis(self.variables, x)
-        zc = z.shape[-1]
-        med = jnp.asarray(self.z_tables.medians)
         # int16 symbols / uint8 indexes: the D2H fetches dominate coding
         # time through a slow host link, so fetch the narrow views.
-        z_sym_dev = quantize(z, "symbols16", means=med)
         z_sym = np.asarray(z_sym_dev)
-        z_idx = np.broadcast_to(np.arange(zc, dtype=np.int32), z_sym.shape)
+        z_idx = np.broadcast_to(
+            np.arange(z_sym.shape[-1], dtype=np.int32), z_sym.shape
+        )
         z_string = encode_with_indexes(
             z_sym, z_idx, self.z_tables.cdfs, self.z_tables.cdf_lengths,
             self.z_tables.offsets,
         )
-        # z_hat/y_hat rebuild from the DEVICE-resident quantized arrays —
-        # no re-upload of what was just fetched.
-        z_hat = z_sym_dev.astype(jnp.float32) + med
-        scales, means = self._entropy_params(self.variables, z_hat)
-        y_idx = np.asarray(
-            self.gaussian.build_indexes(scales).astype(jnp.uint8)
-        )
+        if self.shard is not None:
+            z_hat = self.shard(z_hat)
+        means, y_idx_dev = self._params_idx(self.variables, z_hat)
+        y_idx = np.asarray(y_idx_dev)
         y_sym_dev = quantize(y, "symbols16", means=means)
         y_sym = np.asarray(y_sym_dev)
         y_string = encode_with_indexes(
@@ -199,12 +230,14 @@ class HyperpriorCoder:
         # reconstruct at encode time without re-decoding the stream.
         return {
             "strings": [y_string, z_string],
-            "shape": z.shape[1:3],
+            "shape": tuple(z_sym.shape[1:3]),
             "y_hat": y_sym_dev.astype(jnp.float32) + means,
         }
 
     def synthesize(self, y_hat: jnp.ndarray) -> jnp.ndarray:
         """Decoded output from the quantized latent (decoder-identical)."""
+        if self.shard is not None:
+            y_hat = self.shard(y_hat)
         return self._synthesis(self.variables, y_hat)
 
     def compress_batch(self, x: jnp.ndarray) -> dict:
@@ -216,20 +249,21 @@ class HyperpriorCoder:
         rANS packs one (y, z) stream pair per sample. Returns
         {"strings": [(y_str, z_str)] * B, "shape", "y_hat" (B, ...)}.
         """
+        return self.compress_batch_from(
+            *self._analyze_quantized(self.variables, x)
+        )
+
+    def compress_batch_from(self, y, z_sym_dev, z_hat) -> dict:
+        """Host half of compress_batch from a precomputed analysis triple
+        (see compress_from)."""
         from tpuvc.coder import encode_with_indexes
 
-        y, z = self._analysis(self.variables, x)
-        med = jnp.asarray(self.z_tables.medians)
-        z_sym_dev = quantize(z, "symbols16", means=med)
         z_sym = np.asarray(z_sym_dev)
         z_idx = np.broadcast_to(
-            np.arange(z.shape[-1], dtype=np.int32), z_sym.shape[1:]
+            np.arange(z_sym.shape[-1], dtype=np.int32), z_sym.shape[1:]
         )
-        z_hat = z_sym_dev.astype(jnp.float32) + med
-        scales, means = self._entropy_params(self.variables, z_hat)
-        y_idx = np.asarray(
-            self.gaussian.build_indexes(scales).astype(jnp.uint8)
-        )
+        means, y_idx_dev = self._params_idx(self.variables, z_hat)
+        y_idx = np.asarray(y_idx_dev)
         y_sym_dev = quantize(y, "symbols16", means=means)
         y_sym = np.asarray(y_sym_dev)
 
@@ -246,10 +280,10 @@ class HyperpriorCoder:
 
         from tpuvc.coder.parallel import parallel_map
 
-        strings = parallel_map(pack, range(x.shape[0]))
+        strings = parallel_map(pack, range(z_sym.shape[0]))
         return {
             "strings": strings,
-            "shape": z.shape[1:3],
+            "shape": tuple(z_sym.shape[1:3]),
             "y_hat": y_sym_dev.astype(jnp.float32) + means,
         }
 
@@ -275,10 +309,10 @@ class HyperpriorCoder:
         )
         med = jnp.asarray(self.z_tables.medians)
         z_hat = jnp.asarray(z_sym).astype(jnp.float32) + med
-        scales, means = self._entropy_params(self.variables, z_hat)
-        y_idx = np.asarray(
-            self.gaussian.build_indexes(scales).astype(jnp.uint8)
-        )
+        if self.shard is not None:
+            z_hat = self.shard(z_hat)
+        means, y_idx_dev = self._params_idx(self.variables, z_hat)
+        y_idx = np.asarray(y_idx_dev)
         y_sym = np.stack(
             parallel_map(
                 lambda bs: decode_with_indexes(
@@ -305,8 +339,8 @@ class HyperpriorCoder:
         ).reshape(batch, zh, zw, zc)
         med = jnp.asarray(self.z_tables.medians)
         z_hat = jnp.asarray(z_sym, jnp.float32) + med
-        scales, means = self._entropy_params(self.variables, z_hat)
-        y_idx = np.asarray(self.gaussian.build_indexes(scales))
+        means, y_idx_dev = self._params_idx(self.variables, z_hat)
+        y_idx = np.asarray(y_idx_dev)
         y_sym = decode_with_indexes(
             y_string, y_idx, self.y_tables.cdfs, self.y_tables.cdf_lengths,
             self.y_tables.offsets,

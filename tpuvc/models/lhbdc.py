@@ -174,6 +174,7 @@ class LHBDCCoder:
 
         self.model = model
         self.variables = variables
+        self.shard = None  # see set_shard
         params = variables["params"]
         self.mv_coder = HyperpriorCoder(
             MVCompressor(N=model.N), {"params": params["mv_compressor"]}
@@ -184,11 +185,42 @@ class LHBDCCoder:
         self._motion_priors = jax.jit(
             lambda v, xb, xa: model.apply(v, xb, xa, method=LHBDC.motion_priors)[:2]
         )
-        self._current_flows = jax.jit(
-            lambda v, xc, xb, xa: model.apply(
-                v, xc, xb, xa, method=LHBDC.current_flows
+
+        # Encoder-only fused fronts: current-frame flows + MV analysis in
+        # one graph, residual formation + residual analysis in another
+        # (with the z quantization folded in). Nothing here has a decoder
+        # counterpart, so fusing cannot break the enc/dec bit-identity
+        # contract — the shared graphs (_motion_priors, _params_idx,
+        # _synthesis, _compensate) stay standalone. Halves the encoder's
+        # per-batch-shape graph loads on remote-compile deployments.
+        from tpuvc.entropy.quant import quantize
+
+        def _mv_front_m(m, xc, xb, xa, flow_ba, flow_ab):
+            flow_cb, flow_ca = m.current_flows(xc, xb, xa)
+            diff = jnp.concatenate(
+                [flow_cb - flow_ab, flow_ca - flow_ba], axis=-1
             )
-        )
+            return m.mv_compressor.analysis(diff)
+
+        def mv_front(v, xc, xb, xa, flow_ba, flow_ab):
+            y, z = model.apply(
+                v, xc, xb, xa, flow_ba, flow_ab, method=_mv_front_m
+            )
+            med = jnp.asarray(self.mv_coder.z_tables.medians)
+            z_sym = quantize(z, "symbols16", means=med)
+            return y, z_sym, z_sym.astype(jnp.float32) + med
+
+        def _res_front_m(m, xc, x_pred):
+            return m.residual_compressor.analysis(xc - x_pred)
+
+        def res_front(v, xc, x_pred):
+            y, z = model.apply(v, xc, x_pred, method=_res_front_m)
+            med = jnp.asarray(self.res_coder.z_tables.medians)
+            z_sym = quantize(z, "symbols16", means=med)
+            return y, z_sym, z_sym.astype(jnp.float32) + med
+
+        self._mv_front = jax.jit(mv_front)
+        self._res_front = jax.jit(res_front)
         self._compensate = jax.jit(
             lambda v, xb, xa, fcb, fca, size: model.apply(
                 v, xb, xa, fcb, fca, size, method=LHBDC.motion_compensate
@@ -227,16 +259,15 @@ class LHBDCCoder:
         flow_ba, flow_ab = self._motion_priors(
             self.variables, x_before, x_after
         )
-        flow_cb, flow_ca = self._current_flows(
-            self.variables, x_current, x_before, x_after
+        mv = self.mv_coder.compress_from(
+            *self._mv_front(
+                self.variables, x_current, x_before, x_after, flow_ba, flow_ab
+            )
         )
-        diff_flow = jnp.concatenate(
-            [flow_cb - flow_ab, flow_ca - flow_ba], axis=-1
-        )
-        mv = self.mv_coder.compress(diff_flow)
         x_pred = self._predict(x_before, x_after, mv["strings"], mv["shape"])
-        residual = x_current - x_pred
-        res = self.res_coder.compress(residual)
+        res = self.res_coder.compress_from(
+            *self._res_front(self.variables, x_current, x_pred)
+        )
         bits = BFrameBitstream(
             rate_id=rate_id,
             mv_shape=tuple(mv["shape"]),
@@ -257,6 +288,17 @@ class LHBDCCoder:
             [bitstream.res_y, bitstream.res_z], bitstream.res_shape
         )
         return x_pred + res_hat
+
+    def set_shard(self, shard):
+        """Enable mesh-sharded level-batched coding: ``shard`` (from
+        tpuvc.parallel.level_batch_sharder) places batch axes over the
+        mesh. Applied to the inputs of every device stage on BOTH the
+        encode and decode paths — the mesh size rides in the stream
+        header (VSequenceBitstream.mesh) so decoders shard identically,
+        which keeps the re-derived entropy parameters bit-identical."""
+        self.shard = shard
+        self.mv_coder.shard = shard
+        self.res_coder.shard = shard
 
     def _predict_batch(self, x_before, x_after, mv_y_hat):
         """Shared enc/dec batched prediction from refs + quantized MV
@@ -283,18 +325,22 @@ class LHBDCCoder:
         with x_hat the decoder-identical reconstructions."""
         from tpuvc.coder.container import BFrameBitstream
 
+        if self.shard is not None:
+            x_before, x_current, x_after = self.shard(
+                (x_before, x_current, x_after)
+            )
         flow_ba, flow_ab = self._motion_priors(
             self.variables, x_before, x_after
         )
-        flow_cb, flow_ca = self._current_flows(
-            self.variables, x_current, x_before, x_after
+        mv = self.mv_coder.compress_batch_from(
+            *self._mv_front(
+                self.variables, x_current, x_before, x_after, flow_ba, flow_ab
+            )
         )
-        diff_flow = jnp.concatenate(
-            [flow_cb - flow_ab, flow_ca - flow_ba], axis=-1
-        )
-        mv = self.mv_coder.compress_batch(diff_flow)
         x_pred = self._predict_batch(x_before, x_after, mv["y_hat"])
-        res = self.res_coder.compress_batch(x_current - x_pred)
+        res = self.res_coder.compress_batch_from(
+            *self._res_front(self.variables, x_current, x_pred)
+        )
         x_hat = x_pred + self.res_coder.synthesize(res["y_hat"])
         bits = [
             BFrameBitstream(
@@ -313,6 +359,8 @@ class LHBDCCoder:
     def decode_level_batch(self, x_before, x_after, bitstreams):
         """Batched decode of one hierarchy level's frames (inverse of
         encode_level_batch; same B-shaped graphs)."""
+        if self.shard is not None:
+            x_before, x_after = self.shard((x_before, x_after))
         mv_y_hat = self.mv_coder.decompress_batch(
             [(b.mv_y, b.mv_z) for b in bitstreams], bitstreams[0].mv_shape
         )

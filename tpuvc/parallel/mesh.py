@@ -61,6 +61,34 @@ def shard_spatial(mesh: Mesh, tree, axis: str = "data"):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def level_batch_sharder(mesh: Mesh, axis: str = "data"):
+    """Sharding rule for REAL-bitstream level-batched coding.
+
+    Returns ``shard(tree) -> tree`` placing each array's batch axis over
+    the mesh when divisible, replicated otherwise. The rule is a pure
+    function of (batch, mesh size), so an encoder and a decoder built
+    over same-sized meshes make identical placement decisions — which
+    they must: resharding changes which program XLA compiles, and the
+    decoder re-derives entropy parameters that have to be bit-identical
+    to the encoder's (VSequenceBitstream records the mesh size for this).
+    Unlike shard_eval, no padding: coded frames can't be dropped, so
+    non-divisible level batches stay replicated.
+    """
+    n = int(mesh.devices.size)
+    split = NamedSharding(mesh, P(axis))
+    full = NamedSharding(mesh, P())
+
+    def shard(tree):
+        return jax.tree.map(
+            lambda x: jax.device_put(
+                x, split if x.shape[0] % n == 0 else full
+            ),
+            tree,
+        )
+
+    return shard
+
+
 def shard_eval(mesh: Mesh, fn, axis: str = "data"):
     """Data-parallel wrapper for a batched eval forward.
 
