@@ -12,6 +12,36 @@ from tpuvc.models.lhbdc import LHBDC, LHBDCCoder
 
 
 class TestContainer:
+    def test_tpv2_backcompat(self):
+        """A hand-packed pre-mesh TPV2 header + one frame record parses
+        with mesh=1 and intact frames (the documented back-compat path in
+        VSequenceBitstream.deserialize)."""
+        import struct
+
+        from tpuvc.coder.container import B_FAMILY_IDS, VSequenceBitstream
+
+        blob_payload = b"frame-bytes"
+        header = struct.pack(
+            VSequenceBitstream.HEADER_V2, b"TPV2",
+            B_FAMILY_IDS["lhbdc"], 320, 192, 16, 1, 0, 4, 0, 2,
+        )
+        record = struct.pack("<BHI", 0, 0, len(blob_payload)) + blob_payload
+        seq = VSequenceBitstream.deserialize(header + record)
+        assert seq.mesh == 1
+        assert seq.family == "lhbdc"
+        assert seq.window_gops == 2
+        assert seq.frames == [("I", 0, blob_payload)]
+
+    def test_mesh_header_range(self):
+        from tpuvc.coder.container import VSequenceBitstream
+
+        seq = VSequenceBitstream(
+            family="lhbdc", width=64, height=64, gop=16, n_frames=0,
+            mesh=256,
+        )
+        with pytest.raises(ValueError, match="uint8"):
+            seq.serialize()
+
     def test_round_trip(self):
         b = BFrameBitstream(
             rate_id=1626,

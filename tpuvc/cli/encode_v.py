@@ -192,6 +192,21 @@ def _encode_level_batched(args, frames, coder, intra_coder):
             raise SystemExit(
                 f"--mesh is not supported for family {args.family!r} yet"
             )
+        if not 1 <= args.mesh <= 255:
+            raise SystemExit(
+                f"--mesh {args.mesh} out of range (header field is uint8, "
+                "1..255)"
+            )
+        import jax
+
+        if args.mesh > len(jax.devices()):
+            # make_mesh would silently truncate to the available devices,
+            # desyncing the recorded mesh size from the programs actually
+            # compiled (mirrors decode_v's check).
+            raise SystemExit(
+                f"--mesh {args.mesh} but only {len(jax.devices())} "
+                "devices available"
+            )
         from tpuvc.parallel.mesh import level_batch_sharder, make_mesh
 
         coder.set_shard(level_batch_sharder(make_mesh(args.mesh)))

@@ -375,6 +375,11 @@ class VSequenceBitstream:
         )
 
     def serialize(self) -> bytes:
+        if not 1 <= max(1, self.mesh) <= 255:
+            raise ValueError(
+                f"mesh={self.mesh} does not fit the uint8 header field "
+                "(1..255)"
+            )
         out = [
             struct.pack(
                 self.HEADER, self.MAGIC, B_FAMILY_IDS[self.family],

@@ -262,6 +262,11 @@ class HyperpriorCoder:
         z_idx = np.broadcast_to(
             np.arange(z_sym.shape[-1], dtype=np.int32), z_sym.shape[1:]
         )
+        if self.shard is not None:
+            # Same explicit placement as decompress_batch: _params_idx must
+            # compile the identical program enc and dec (bit-identity), so
+            # don't rely on GSPMD propagation from the analysis graph.
+            z_hat = self.shard(z_hat)
         means, y_idx_dev = self._params_idx(self.variables, z_hat)
         y_idx = np.asarray(y_idx_dev)
         y_sym_dev = quantize(y, "symbols16", means=means)
