@@ -49,7 +49,8 @@ class TestPFrameDMCBitstream:
         dpb = {"ref_frame": ref, "ref_feature": None, "ref_down_ratio": 1.0}
 
         bits, enc_dpb = coder.encode(x, dpb, ratio=1.0, q=1.0)
-        assert len(bits.streams) == 4
+        # mv four-part streams + mv z + frame four-part streams + frame z
+        assert len(bits.streams) == 10
         blob = bits.serialize()
         parsed = PFrameBitstream.deserialize(blob)
         x_hat, dec_dpb = coder.decode(dpb, parsed)

@@ -151,11 +151,13 @@ class PFrameBitstream:
     DCVC write_ip): per-frame side info the decoder needs — rate level q
     (milli fixed-point, the q_index analog), the chosen fractional
     down-sampling ratio (centi fixed-point, 1.00..8.75), latent z shape —
-    followed by the four rANS streams (mv y, mv z, frame y, frame z).
+    followed by the rANS streams in write order: mv-y four-part streams
+    0-3, mv z, frame-y four-part streams 0-3, frame z (the reference's
+    encoder writes mv before y the same way, video_model.py:432-443).
 
     Layout (little-endian):
       uint32 q_milli | uint16 ratio_centi | uint16 zh | uint16 zw |
-      uint32 lengths[4] | stream bytes...
+      uint8 n_streams | uint32 lengths[n] | stream bytes...
     """
 
     q_milli: int
@@ -163,7 +165,7 @@ class PFrameBitstream:
     z_shape: tuple[int, int]
     streams: list = field(default_factory=list)
 
-    HEADER = "<IHHH"
+    HEADER = "<IHHHB"
 
     @property
     def num_bytes(self) -> int:
@@ -180,6 +182,7 @@ class PFrameBitstream:
             self.ratio_centi,
             self.z_shape[0],
             self.z_shape[1],
+            len(self.streams),
         )
         lens = struct.pack(
             f"<{len(self.streams)}I", *[len(s) for s in self.streams]
@@ -189,9 +192,9 @@ class PFrameBitstream:
     @classmethod
     def deserialize(cls, blob: bytes) -> "PFrameBitstream":
         hsize = struct.calcsize(cls.HEADER)
-        q_milli, rc, zh, zw = struct.unpack(cls.HEADER, blob[:hsize])
-        lens = struct.unpack("<4I", blob[hsize : hsize + 16])
-        off = hsize + 16
+        q_milli, rc, zh, zw, n = struct.unpack(cls.HEADER, blob[:hsize])
+        lens = struct.unpack(f"<{n}I", blob[hsize : hsize + 4 * n])
+        off = hsize + 4 * n
         streams = []
         for L in lens:
             streams.append(blob[off : off + L])

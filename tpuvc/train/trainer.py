@@ -245,32 +245,41 @@ def make_dmc_step(
 
     dist, dist_scale = distortion_fn(distortion)
 
-    def code_one(params, x, ref_frame, ref_feature, rng, q):
+    def code_one(params, x, dpb, rng, q):
         out = model.apply(
-            {"params": params}, x,
-            {"ref_frame": ref_frame, "ref_feature": ref_feature,
-             "ref_down_ratio": 1.0},
-            ratio=1.0, mode="ste", rng=rng, q=q,
+            {"params": params}, x, dpb, ratio=1.0, mode="ste", rng=rng, q=q,
         )
-        return (
-            out["x_hat"], out["dpb"]["ref_feature"], out["warped"],
-            out["rate"],
-        )
+        return out["x_hat"], out["dpb"], out["warped"], out["rate"]
 
     coded = jax.checkpoint(code_one) if remat else code_one
 
     def loss_fn(params, batch, rng, q):
         B, n, H, W, C = batch.shape
-        ref = batch[:, 0]
-        feat = jnp.zeros((B, H, W, model.feat), batch.dtype)
+        # Frame 0 seeds the DPB with the DCVC "fresh after intra" state:
+        # zero feature / latent priors (PFrameDMC treats None as zeros;
+        # explicit zeros here keep one traced structure across steps).
+        from tpuvc.models.dmc import MV_FEAT
+
+        dpb = {
+            "ref_frame": batch[:, 0],
+            "ref_feature": jnp.zeros((B, H, W, model.feat), batch.dtype),
+            "ref_mv_feature": jnp.zeros((B, H, W, MV_FEAT), batch.dtype),
+            "ref_y": jnp.zeros(
+                (B, H // 8, W // 8, model.N), batch.dtype
+            ),
+            "ref_mv_y": jnp.zeros(
+                (B, H // 8, W // 8, model.N), batch.dtype
+            ),
+            "ref_down_ratio": 1.0,
+        }
         keys = jax.random.split(rng, n - 1)
         loss = 0.0
         tot_rate = 0.0
         tot_dist = 0.0
         for i in range(1, n):
             x = batch[:, i]
-            x_hat, feat, warped, rate = coded(
-                params, x, ref, feat, keys[i - 1], q
+            x_hat, dpb, warped, rate = coded(
+                params, x, dpb, keys[i - 1], q
             )
             d = dist(x_hat, x)
             loss += beta * dist_scale * d + jnp.mean(rate)
@@ -278,7 +287,6 @@ def make_dmc_step(
                 loss += warp_weight * jnp.mean((warped - x) ** 2)
             tot_rate += jnp.mean(rate)
             tot_dist += d
-            ref = jnp.clip(x_hat, 0.0, 1.0)
         loss = loss / (n - 1)
         aux = model.apply({"params": params}, method=type(model).aux_loss)
         return loss + aux, {
