@@ -10,6 +10,8 @@ import pytest
 from tpuvc.coder.container import BFrameBitstream
 from tpuvc.models.lhbdc import LHBDC, LHBDCCoder
 
+pytestmark = pytest.mark.slow
+
 
 class TestContainer:
     def test_tpv2_backcompat(self):

@@ -5,6 +5,8 @@ import pytest
 
 from tpuvc.models.deform_b import DeformB
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def deformb():

@@ -15,6 +15,8 @@ import pytest
 from tpuvc.coder.container import PFrameBitstream
 from tpuvc.models.dmc import PFrameDMC, PFrameDMCCoder
 
+pytestmark = pytest.mark.slow
+
 
 class TestPFrameContainer:
     def test_round_trip(self):

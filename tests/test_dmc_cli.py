@@ -7,6 +7,10 @@ is covered by tests/test_dmc.py)."""
 import csv
 import os
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def test_dmc_eval_cli(tmp_path):
     from tpuvc.cli.test import main

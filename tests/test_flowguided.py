@@ -5,6 +5,8 @@ import pytest
 
 from tpuvc.models.flowguided_b import FlowGuidedB, convert_scales, get_scales
 
+pytestmark = pytest.mark.slow
+
 
 class TestScales:
     def test_get_scales_midpoint(self):

@@ -17,6 +17,8 @@ from tpuvc.coder.container import (
     PSequenceBitstream,
 )
 
+pytestmark = pytest.mark.slow
+
 
 class TestContainers:
     def test_sequence_round_trip(self):

@@ -11,6 +11,8 @@ from tpuvc.eval.infographic import TestInfographic
 from tpuvc.eval.runner import eval_sequence
 from tpuvc.gop.order import get_order_typ_list
 
+pytestmark = pytest.mark.slow
+
 
 class TestEvalSequence:
     def test_lhbdc_sequence(self, rng):

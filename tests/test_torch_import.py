@@ -14,6 +14,8 @@ import pytest
 from tpuvc.models.lhbdc import LHBDC
 from tpuvc.utils.torch_import import import_lhbdc_state_dict
 
+pytestmark = pytest.mark.slow
+
 
 def _rand(rng, *shape):
     return rng.standard_normal(shape).astype(np.float32) * 0.1

@@ -19,6 +19,8 @@ import pytest
 
 from tpuvc.utils import torch_import as ti
 
+pytestmark = pytest.mark.slow
+
 
 def _rnd(rng, shape):
     return rng.standard_normal(shape).astype(np.float32)

@@ -12,6 +12,8 @@ from tpuvc.train.trainer import (
     make_recursive_step,
 )
 
+pytestmark = pytest.mark.slow
+
 
 class TestOptimizer:
     def test_quantile_params_get_aux_lr(self):

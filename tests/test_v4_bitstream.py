@@ -9,6 +9,8 @@ import pytest
 from tpuvc.coder.container import VFrameBitstream
 from tpuvc.models.flowguided_b import FlowGuidedB, FlowGuidedBCoder
 
+pytestmark = pytest.mark.slow
+
 
 class TestVFrameContainer:
     def test_round_trip(self):

@@ -17,6 +17,8 @@ import pytest
 from tpuvc.coder.container import VSequenceBitstream
 from tpuvc.gop.order import sequence_schedule
 
+pytestmark = pytest.mark.slow
+
 
 class TestContainer:
     def test_round_trip(self):
