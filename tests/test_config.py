@@ -61,3 +61,9 @@ class TestConfigSchema:
         tcfg = load_yaml("configs/train_flowguided.yaml", TrainConfig)
         assert tcfg.total_steps == 750000
         assert tcfg.stage2_start == 350000
+
+    def test_timestamped_output_override(self):
+        cfg = TestConfig()
+        assert cfg.timestamped_output is False
+        apply_overrides(cfg, ["timestamped_output=True"])
+        assert cfg.timestamped_output is True

@@ -347,6 +347,13 @@ def main(argv=None):
 
     from tpuvc.eval.infographic import TestInfographic
 
+    if cfg.timestamped_output:
+        # hydra run-dir parity: outputs/%Y-%m-%d/%H-%M-%S
+        # (ICIP2023/configs/test.yaml:7-9).
+        cfg.output_dir = os.path.join(
+            cfg.output_dir, time.strftime("%Y-%m-%d"), time.strftime("%H-%M-%S")
+        )
+        print(f"run dir: {cfg.output_dir}")
     os.makedirs(cfg.output_dir, exist_ok=True)
     intra_pack, inter_pack = build_models(cfg, cfg.seed)
 

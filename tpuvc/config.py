@@ -89,6 +89,10 @@ class TestConfig:
     dmc_diag_csv: str = ""
     device_count: int = 1
     output_dir: str = "outputs"
+    #: hydra-style timestamped run directory (ICIP2023/configs/test.yaml:7-9,
+    #: outputs/%Y-%m-%d/%H-%M-%S): when true, results/plots/logs land in
+    #: output_dir/<date>/<time> so successive runs never overwrite.
+    timestamped_output: bool = False
     #: "float32" | "bfloat16": layer compute dtype (tpuvc.ops.precision).
     compute_dtype: str = "float32"
 
