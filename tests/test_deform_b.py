@@ -109,3 +109,31 @@ class TestDeformBBitstream:
         parsed = VFrameBitstream.deserialize(bits.serialize())
         x_hat = coder.decode(x1, x2, parsed)
         np.testing.assert_array_equal(np.asarray(recon), np.asarray(x_hat))
+
+
+class TestMeshShardedCoding:
+    """Mesh-sharded v3 level batches (VSequenceBitstream.mesh contract):
+    sharded batched decode reproduces sharded batched encode bit-for-bit."""
+
+    def test_mesh2_batch2_round_trip(self, deformb, rng):
+        import jax
+        import jax.numpy as jnp
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs >=2 devices")
+        from tpuvc.coder.container import VFrameBitstream
+        from tpuvc.models.deform_b import DeformBCoder
+        from tpuvc.parallel.mesh import level_batch_sharder, make_mesh
+
+        model, variables = deformb
+        a1, c1, b1 = _frames(rng)
+        a2, c2, b2 = _frames(rng)
+        x1 = jnp.concatenate([a1, a2], axis=0)
+        xc = jnp.concatenate([c1, c2], axis=0)
+        x2 = jnp.concatenate([b1, b2], axis=0)
+        coder = DeformBCoder(model, variables)
+        coder.set_shard(level_batch_sharder(make_mesh(2)))
+        bits, recon = coder.encode_level_batch(x1, x2, xc, s=1.0)
+        parsed = [VFrameBitstream.deserialize(b.serialize()) for b in bits]
+        x_hat = coder.decode_level_batch(x1, x2, parsed)
+        np.testing.assert_array_equal(np.asarray(recon), np.asarray(x_hat))

@@ -211,3 +211,35 @@ def test_level_batched_window_gops_round_trip(tmp_path):
     ]
     ps = _decoded_psnrs(out_dir)
     assert all(3.0 < p < 60.0 for p in ps), ps
+
+
+@pytest.mark.parametrize("family", ["deform_b", "flowguided_b"])
+def test_level_batched_mesh_v34_round_trip(tmp_path, family):
+    """--mesh 2 for the CondELIC families (v3/v4): the group-loop entropy
+    stages shard over a 2-device mesh on both sides; decoded frames must
+    match the encoder's reconstructions (else the conditional entropy
+    decode desyncs)."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >=2 devices")
+    from tpuvc.cli.decode_v import main as decode_main
+    from tpuvc.cli.encode_v import main as encode_main
+
+    bin_path = str(tmp_path / f"seq_mesh_{family}.tpvb")
+    out_dir = str(tmp_path / f"dec_mesh_{family}")
+    encode_main(SMALL + ["--family", family, "--bin", bin_path,
+                         "--level_batched", "--max_batch", "2",
+                         "--mesh", "2"])
+    with open(bin_path, "rb") as f:
+        seq = VSequenceBitstream.deserialize(f.read())
+    assert seq.mode == 1 and seq.mesh == 2
+
+    model_args = SMALL[SMALL.index("--init"):]
+    decode_main(model_args + ["--bin", bin_path, "--out_dir", out_dir,
+                              "--synthetic", "9"])
+    assert sorted(os.listdir(out_dir)) == [
+        f"frame_{i:05d}.png" for i in range(9)
+    ]
+    ps = _decoded_psnrs(out_dir)
+    assert all(3.0 < p < 60.0 for p in ps), ps

@@ -67,7 +67,7 @@ def build_parser():
                    help="per-forward batch cap for --level_batched")
     p.add_argument("--mesh", type=int, default=1,
                    help="shard --level_batched device stages over an "
-                        "N-device mesh (lhbdc/flexrate families; recorded "
+                        "N-device mesh (all four families; recorded "
                         "in the header — decode_v must use the same mesh "
                         "size for the entropy decode to stay bit-identical)")
     p.add_argument("--window_gops", type=int, default=1,

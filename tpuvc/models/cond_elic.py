@@ -332,6 +332,14 @@ class CondELICCoder:
 
         self.module = module
         self.variables = variables
+        # Optional mesh-sharding rule for level-batched coding (set by the
+        # family coders' set_shard from parallel.level_batch_sharder):
+        # applied to the inputs of every SHARED enc/dec graph (_hyper,
+        # _group_params, _synthesis) so both sides compile the same
+        # partitioned program — input sharding is part of program identity,
+        # and the decoder's re-derived entropy parameters must be
+        # bit-identical to the encoder's (cf. HyperpriorCoder.shard).
+        self.shard = None
         eb = FactorizedBottleneck(channels=module.N)
         self.z_tables = FactorizedTables.from_module(
             eb, {"params": variables["params"]["entropy_bottleneck"]}
@@ -380,6 +388,8 @@ class CondELICCoder:
 
         b, h, w = hyper.shape[0], hyper.shape[1], hyper.shape[2]
         gsize = self.module.groups[i]
+        if self.shard is not None:
+            hyper, prev = self.shard((hyper, prev))
         amask = np.asarray(anchor_mask(h, w)).astype(bool)
         ai, aj = np.nonzero(amask)
         ni, nj = np.nonzero(~amask)
@@ -419,6 +429,11 @@ class CondELICCoder:
         # ELICCoder._code_group — streams stay byte-identical).
         def phase(prev_hat, idxs, stream):
             pi, pj = idxs
+            if self.shard is not None:
+                # prev_hat mixes sharded graph outputs with host-decoded
+                # symbol uploads (default placement) on BOTH sides; pin it
+                # so encoder and decoder compile one partitioned program.
+                prev_hat = self.shard(prev_hat)
             scales, means = self._group_params[i](
                 self.variables, hyper, prev, prev_hat
             )
@@ -473,6 +488,8 @@ class CondELICCoder:
             ).reshape(batch, zh, zw, zc)
             shape = z_shape
         z_hat = jnp.asarray(z_sym, jnp.float32) + med
+        if self.shard is not None:
+            z_hat = self.shard(z_hat)
         return z_hat, z_string, shape
 
     def compress(self, inputs, conds, temporal_cond, s, x_pixel=None):
@@ -495,6 +512,8 @@ class CondELICCoder:
             groups_hat.append(g_hat)
             streams.extend(strs)
         y_hat = jnp.concatenate(groups_hat, axis=-1)
+        if self.shard is not None:
+            y_hat = self.shard(y_hat)
         out1, out2, out3 = self._synthesis(self.variables, y_hat, *conds, s)
         return {
             "streams": streams,
@@ -533,6 +552,8 @@ class CondELICCoder:
             range(b),
         )
         z_hat = z_sym_dev.astype(jnp.float32) + med
+        if self.shard is not None:
+            z_hat = self.shard(z_hat)
         hyper = self._hyper(self.variables, z_hat, temporal_cond, s)
 
         per_frame = [[zs] for zs in z_strs]
@@ -553,6 +574,8 @@ class CondELICCoder:
             for j in range(b):
                 per_frame[j].extend([a_strs[j], n_strs[j]])
         y_hat = jnp.concatenate(groups_hat, axis=-1)
+        if self.shard is not None:
+            y_hat = self.shard(y_hat)
         out1, out2, out3 = self._synthesis(self.variables, y_hat, *conds, s)
         return {
             "streams": per_frame,
@@ -584,6 +607,8 @@ class CondELICCoder:
         z_hat = jnp.asarray(z_sym, jnp.float32) + jnp.asarray(
             self.z_tables.medians
         )
+        if self.shard is not None:
+            z_hat = self.shard(z_hat)
         hyper = self._hyper(self.variables, z_hat, temporal_cond, s)
         groups_hat = []
         for i in range(len(self.module.groups)):
@@ -600,6 +625,8 @@ class CondELICCoder:
             )
             groups_hat.append(g_hat)
         y_hat = jnp.concatenate(groups_hat, axis=-1)
+        if self.shard is not None:
+            y_hat = self.shard(y_hat)
         return self._synthesis(self.variables, y_hat, *conds, s)
 
     def decompress(self, streams, z_shape, conds, temporal_cond, s, batch=1):
@@ -620,6 +647,8 @@ class CondELICCoder:
             )
             groups_hat.append(g_hat)
         y_hat = jnp.concatenate(groups_hat, axis=-1)
+        if self.shard is not None:
+            y_hat = self.shard(y_hat)
         return self._synthesis(self.variables, y_hat, *conds, s)
 
 

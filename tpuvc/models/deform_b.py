@@ -196,6 +196,7 @@ class DeformBCoder:
 
         self.model = model
         self.variables = variables
+        self.shard = None  # see set_shard
         params = variables["params"]
         fc = model.feature_channels
         self.offset_coder = CondELICCoder(
@@ -283,6 +284,8 @@ class DeformBCoder:
         quantized latents (decoder-identical)."""
         from tpuvc.coder.container import VFrameBitstream
 
+        if self.shard is not None:
+            xref1, xref2, xcur = self.shard((xref1, xref2, xcur))
         cond, offset_temp, fref1, fref2 = self._context(
             self.variables, xref1, xref2
         )
@@ -314,8 +317,22 @@ class DeformBCoder:
         x_hat = self._recon(self.variables, *x_full)
         return bits, x_hat
 
+    def set_shard(self, shard):
+        """Enable mesh-sharded level-batched coding: ``shard`` (from
+        tpuvc.parallel.level_batch_sharder) places batch axes over the
+        mesh, applied to the inputs of every device stage on BOTH the
+        encode and decode paths — the mesh size rides in the stream
+        header (VSequenceBitstream.mesh) so decoders shard identically,
+        which keeps the re-derived entropy parameters bit-identical
+        (same contract as LHBDCCoder.set_shard)."""
+        self.shard = shard
+        self.offset_coder.shard = shard
+        self.res_coder.shard = shard
+
     def decode_level_batch(self, xref1, xref2, bitstreams):
         """Inverse of encode_level_batch (same B-shaped graphs)."""
+        if self.shard is not None:
+            xref1, xref2 = self.shard((xref1, xref2))
         s = bitstreams[0].s_milli / 1000.0
         n = 1 + 2 * len(self.model.groups)
         off_streams = [list(b.streams[:n]) for b in bitstreams]

@@ -321,6 +321,7 @@ class FlowGuidedBCoder:
 
         self.model = model
         self.variables = variables
+        self.shard = None  # see set_shard
         params = variables["params"]
         self.offset_coder = CondELICCoder(
             OffsetELIC(
@@ -413,6 +414,8 @@ class FlowGuidedBCoder:
         (scale1, scale2, down_ratio) triple serves the whole batch."""
         from tpuvc.coder.container import VFrameBitstream
 
+        if self.shard is not None:
+            xref1, xref2, xcur = self.shard((xref1, xref2, xcur))
         cond, offset_temp, flows, fref1, fref2 = self._context(
             self.variables, xref1, xref2, scale1, scale2, down_ratio
         )
@@ -443,8 +446,22 @@ class FlowGuidedBCoder:
         x_hat = self._recon(self.variables, *x_full)
         return bits, x_hat
 
+    def set_shard(self, shard):
+        """Enable mesh-sharded level-batched coding: ``shard`` (from
+        tpuvc.parallel.level_batch_sharder) places batch axes over the
+        mesh, applied to the inputs of every device stage on BOTH the
+        encode and decode paths — the mesh size rides in the stream
+        header (VSequenceBitstream.mesh) so decoders shard identically,
+        which keeps the re-derived entropy parameters bit-identical
+        (same contract as LHBDCCoder.set_shard)."""
+        self.shard = shard
+        self.offset_coder.shard = shard
+        self.res_coder.shard = shard
+
     def decode_level_batch(self, xref1, xref2, bitstreams):
         """Inverse of encode_level_batch (same B-shaped graphs)."""
+        if self.shard is not None:
+            xref1, xref2 = self.shard((xref1, xref2))
         b0 = bitstreams[0]
         s = b0.s_milli / 1000.0
         scale1, scale2 = b0.scale1_centi / 100.0, b0.scale2_centi / 100.0
