@@ -59,12 +59,15 @@ def main():
         variables = model.init(key, small, small, small, 0, "dequantize")
 
         @jax.jit
-        def fwd(r1, r2, x):
+        def fwd(v, r1, r2, x):
+            # v as an ARGUMENT: closing over it would inline ~35M weights
+            # as HLO constants (hundreds of MB serialized), blowing remote
+            # compile request limits.
             with mixed_precision():
-                out = model.apply(variables, r1, r2, x, 0, "dequantize")
+                out = model.apply(v, r1, r2, x, 0, "dequantize")
             return out["x_hat"], out["size"]
 
-        timed("deform_b full forward", fwd, r1, r2, x)
+        timed("deform_b full forward", fwd, variables, r1, r2, x)
     elif fam == "flowguided_b":
         from tpuvc.models.flowguided_b import FlowGuidedB
 
@@ -74,14 +77,14 @@ def main():
         )
 
         @jax.jit
-        def fwd(r1, r2, x):
+        def fwd(v, r1, r2, x):
             with mixed_precision():
                 out = model.apply(
-                    variables, r1, r2, x, 0, 0.5, -0.5, 1, "dequantize"
+                    v, r1, r2, x, 0, 0.5, -0.5, 1, "dequantize"
                 )
             return out["x_hat"], out["size"]
 
-        timed("flowguided_b full forward", fwd, r1, r2, x)
+        timed("flowguided_b full forward", fwd, variables, r1, r2, x)
     else:
         raise SystemExit(f"unknown family {fam}")
 

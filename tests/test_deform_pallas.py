@@ -106,3 +106,44 @@ class TestFusedDeformConvRoute:
             x, offsets, masks, weight, bias, G, K, fused=True
         )
         np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+    def test_fused_chunked_channels_matches_xla(self, rng, monkeypatch):
+        """Cg beyond the kernel cap (v4 L2/L3 shapes: Cg=12/16) folds the
+        group channels chunk-minor into the kernel's batch/weight-group
+        axis (ONE pallas_call, zero-padded tail chunk); the summed partial
+        contractions match the tap-unrolled XLA result."""
+        import tpuvc.ops.deform_pallas as dp
+
+        from tpuvc.ops.deform import _deform_taps
+
+        orig = dp.deform_sample_accum
+        calls = []
+
+        def spy(*a, **k):
+            calls.append(a[0].shape)
+            return orig(*a, **k, interpret=True)
+
+        monkeypatch.setattr(dp, "deform_sample_accum", spy)
+
+        B, H, W, C, G, K, C_out = 1, 24, 40, 24, 2, 3, 8  # Cg=12, Og=4
+        x = jnp.asarray(rng.random((B, H, W, C), dtype=np.float32))
+        offsets = jnp.asarray(
+            (rng.random((B, H, W, G * K * K * 2), dtype=np.float32) - 0.5) * 6
+        )
+        masks = jnp.asarray(
+            rng.random((B, H, W, G * K * K), dtype=np.float32)
+        )
+        weight = jnp.asarray(
+            rng.standard_normal((K, K, C // G, C_out), dtype=np.float32) * 0.2
+        )
+
+        ref = _deform_taps(
+            x, offsets, masks, weight, None, G, K,
+            fused=False, force_xla=True,
+        )
+        out = _deform_taps(
+            x, offsets, masks, weight, None, G, K, fused=True
+        )
+        # one call: chunks ride the batch axis (B*G*nc), channels padded
+        assert calls == [(1 * G * 2, 24, 40, 8)]
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)

@@ -103,17 +103,19 @@ def _use_fused(shape, cg: int, og: int, taps: int) -> bool:
     """Gate the fused multi-tap Pallas kernel (tpuvc.ops.deform_pallas):
     one window pass computes all taps + the weight contraction, instead of
     one full sampling pass per tap. TPUVC_WARP=xla disables."""
-    from tpuvc.ops.deform_pallas import MAX_CHANNELS, MAX_OUT, MAX_TAPS
+    from tpuvc.ops.deform_pallas import MAX_OUT, MAX_TAPS
 
     mode = os.environ.get("TPUVC_WARP", "auto")
     if mode == "xla":
         return False
     B, H, W, C = shape
+    # cg may exceed MAX_CHANNELS: the fused path chunks the group's input
+    # channels (each chunk shares the per-tap flows; partial outputs sum),
+    # like the DMC wide-channel warp (tpuvc.ops.deform._warp_zero_pallas).
     eligible = (
-        cg <= MAX_CHANNELS
-        and og <= MAX_OUT
+        og <= MAX_OUT
         and taps <= MAX_TAPS
-        and H * W >= 128 * 256
+        and H * W >= 128 * 240
     )
     if mode == "pallas":
         return eligible
@@ -216,7 +218,7 @@ def _deform_taps(
     pad = K // 2
 
     if fused:
-        from tpuvc.ops.deform_pallas import deform_sample_accum
+        from tpuvc.ops.deform_pallas import MAX_CHANNELS, deform_sample_accum
 
         # Per-tap flows: (dy, dx) torchvision order -> (dx, dy) + tap base.
         off_t = jnp.moveaxis(off, 3, 1)[..., ::-1]  # (BG, T, H, W, 2)
@@ -228,7 +230,33 @@ def _deform_taps(
         m_t = jnp.moveaxis(m, 3, 1)  # (BG, T, H, W)
         # weight (K,K,Cg,C_out) -> (G, T, Cg, Og)
         w_g = weight.reshape(K * K, Cg, G, Og).transpose(2, 0, 1, 3)
+        # Group channel widths beyond the kernel's cap (v4 L2/L3: Cg=12/16)
+        # fold chunk-minor into the kernel's batch/weight-group axis: ONE
+        # pallas_call still serves the whole conv (a call per chunk blows
+        # the serialized program past remote-compile limits), each chunk
+        # shares the per-tap flows/masks, and the partial contractions sum
+        # — exact, as the op is linear in (x, weight) at fixed sampling.
+        nc = -(-Cg // MAX_CHANNELS)
+        if nc > 1:
+            cp = nc * MAX_CHANNELS
+            xg = jnp.pad(xg, ((0, 0),) * 3 + ((0, cp - Cg),))
+            xg = (
+                xg.reshape(B * G, H, W, nc, MAX_CHANNELS)
+                .transpose(0, 3, 1, 2, 4)
+                .reshape(B * G * nc, H, W, MAX_CHANNELS)
+            )
+            flows = jnp.repeat(flows, nc, axis=0)
+            m_t = jnp.repeat(m_t, nc, axis=0)
+            # zero weights on the padded channels keep the pad exact
+            w_g = jnp.pad(w_g, ((0, 0), (0, 0), (0, cp - Cg), (0, 0)))
+            w_g = (
+                w_g.reshape(G, K * K, nc, MAX_CHANNELS, Og)
+                .transpose(0, 2, 1, 3, 4)
+                .reshape(G * nc, K * K, MAX_CHANNELS, Og)
+            )
         out = deform_sample_accum(xg, flows, m_t, w_g)
+        if nc > 1:
+            out = out.reshape(B * G, nc, H, W, Og).sum(axis=1)
         out = jnp.moveaxis(
             out.reshape(B, G, H, W, Og), 1, -2
         ).reshape(B, H, W, C_out)

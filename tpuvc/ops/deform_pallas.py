@@ -102,10 +102,17 @@ def _deform_band_kernel(
     )
     icols = jax.lax.broadcasted_iota(jnp.int32, (BAND_ROWS, w), 1)
 
+    # Taps, channels, and re-interleave tiles run as lax.fori_loops with
+    # dynamic ref slices, NOT unrolled Python loops: the v4 codec carries
+    # three instances of this kernel in one graph, and fully unrolled
+    # (4 groups x 8 ch x 8 tiles x 9 taps) bodies serialize to programs
+    # past remote-compile request limits (HTTP 413) while compiling for
+    # tens of minutes. Only the short, shape-bearing loops (row groups,
+    # lane tiles, output channels) stay unrolled.
+
     # --- per-tap sampling indices; window bounds are unions over taps ---
-    ymin = None
-    xrel_min = None
-    for t in range(taps):
+    def setup_tap(t, carry):
+        ymin, xrel_min = carry
         y = rows + band * BAND_ROWS + tap_plane(t, 0)
         x = icols.astype(jnp.float32) + tap_plane(t, 1)
         y = jnp.clip(y, 0.0, h - 1.0)
@@ -117,9 +124,16 @@ def _deform_band_kernel(
         fx_s[tsl, :] = x - x0
         rloc_s[tsl, :] = y0.astype(jnp.int32)  # absolute rows for now
         xloc_s[tsl, :] = x0.astype(jnp.int32)  # absolute cols for now
-        ymin = y0 if ymin is None else jnp.minimum(ymin, y0)
         xrel = x0.astype(jnp.int32) - icols
-        xrel_min = xrel if xrel_min is None else jnp.minimum(xrel_min, xrel)
+        return jnp.minimum(ymin, y0), jnp.minimum(xrel_min, xrel)
+
+    ymin, xrel_min = jax.lax.fori_loop(
+        0, taps, setup_tap,
+        (
+            jnp.full((BAND_ROWS, w), float(h), jnp.float32),
+            jnp.full((BAND_ROWS, w), 2**30, jnp.int32),
+        ),
+    )
 
     # Window start: 8-aligned, 8 rows below the min sampled row (diagonal
     # coordinates rr - s stay positive; the wrapper edge-pads 8 rows on top).
@@ -133,28 +147,39 @@ def _deform_band_kernel(
     s_iota = jax.lax.broadcasted_iota(jnp.int32, (BAND_ROWS, w), 0) % TILE_S
     qx = (icols // TILE_L) * TILE_L
     start = jnp.clip(qx + qdx, 0, w - lw)
-    for t in range(taps):
+
+    def diag_tap(t, _):
         tsl = pl.ds(t * BAND_ROWS, BAND_ROWS)
         rr = jnp.clip(rloc_s[tsl, :] - r_lo, 0, rw - TILE_S - 2)
         rloc_s[tsl, :] = rr - s_iota  # diagonal coordinates
         xloc_s[tsl, :] = jnp.clip(xloc_s[tsl, :] - start, 0, lw - 2)
+        return 0
+
+    jax.lax.fori_loop(0, taps, diag_tap, 0)
 
     # Per-group union vertical range across taps (diagonal coords).
     for g in range(n_s):
-        gmin = None
-        gmax = None
-        for t in range(taps):
+        def union_tap(t, mm, g=g):
             rr_g = rloc_s[pl.ds(t * BAND_ROWS + g * TILE_S, TILE_S), :]
-            tmin = jnp.min(rr_g)
-            tmax = jnp.max(rr_g)
-            gmin = tmin if gmin is None else jnp.minimum(gmin, tmin)
-            gmax = tmax if gmax is None else jnp.maximum(gmax, tmax)
+            return (
+                jnp.minimum(mm[0], jnp.min(rr_g)),
+                jnp.maximum(mm[1], jnp.max(rr_g)),
+            )
+
+        gmin, gmax = jax.lax.fori_loop(
+            0, taps, union_tap,
+            (jnp.int32(2**30), jnp.int32(-(2**30))),
+        )
         ry_g = jnp.clip(gmin, 0, rw - TILE_S - 2)
         rys_s[g] = ry_g
         jhi_s[g] = jnp.minimum(gmax - ry_g + 2, lh)
-        for t in range(taps):
+
+        def clamp_tap(t, _, g=g, ry_g=ry_g):
             sl = pl.ds(t * BAND_ROWS + g * TILE_S, TILE_S)
             rloc_s[sl, :] = jnp.clip(rloc_s[sl, :] - ry_g, 0, lh - 2)
+            return 0
+
+        jax.lax.fori_loop(0, taps, clamp_tap, 0)
 
     # --- window DMA ---
     copy = pltpu.make_async_copy(
@@ -164,8 +189,8 @@ def _deform_band_kernel(
     copy.wait()
 
     # --- de-interleave every channel once (shared by all taps) ---
-    for c in range(ch):
-        P = _deinterleave_matrix(ch, c)
+    def deint_chan(c, _):
+        P = _deinterleave_matrix(ch, c)  # iota compares: c may be traced
         for tl in range(n_l):
             slab = win_i[:, ch * tl * TILE_L : ch * (tl + 1) * TILE_L]
             win_c[
@@ -174,6 +199,9 @@ def _deform_band_kernel(
                 slab, P, preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
+        return 0
+
+    jax.lax.fori_loop(0, ch, deint_chan, 0)
 
     qdx_v = rlo_s[1]
 
@@ -183,18 +211,12 @@ def _deform_band_kernel(
         )
 
     # --- one union slab walk per (group, channel), all taps fused ---
+    res_s[...] = jnp.zeros((og * BAND_ROWS, w), jnp.float32)
     for g in range(n_s):
         ry = rys_s[g]
-        for c in range(ch):
+
+        def chan_body(c, _, g=g, ry=ry):
             base = c * rw
-            # weights for this channel: scalar reads hoisted out of j loop
-            wts = [
-                [
-                    wt_ref[((wg * taps + t) * ch + c) * og + o]
-                    for o in range(og)
-                ]
-                for t in range(taps)
-            ]
             for tl in range(n_l):
                 lsl = slice(tl * TILE_L, (tl + 1) * TILE_L)
                 rx = tile_rx(tl)
@@ -208,10 +230,11 @@ def _deform_band_kernel(
                 zero = jnp.zeros((TILE_S, TILE_L), jnp.float32)
 
                 def j_body(j, carry, g=g, c=c, base=base, ry=ry, rx=rx,
-                           lsl=lsl, wts=wts):
+                           lsl=lsl):
                     accs, slab = carry
-                    new_accs = list(accs)
-                    for t in range(taps):
+
+                    def tap_body(t, accs, g=g, c=c, j=j, slab=slab,
+                                 lsl=lsl):
                         sl = pl.ds(t * BAND_ROWS + g * TILE_S, TILE_S)
                         xl = xloc_s[sl, lsl]
                         g0 = _lane_gather(slab, xl)
@@ -224,15 +247,23 @@ def _deform_band_kernel(
                             (rl == j).astype(jnp.float32) * (1.0 - fy_t)
                             + (rl == j - 1).astype(jnp.float32) * fy_t
                         )
-                        msk = tap_ref[0, 0, t, 2, pl.ds(g * TILE_S, TILE_S), lsl]
+                        msk = tap_ref[
+                            0, 0, t, 2, pl.ds(g * TILE_S, TILE_S), lsl
+                        ]
                         contrib = hit * c_row * msk
-                        for o in range(og):
-                            new_accs[o] = new_accs[o] + wts[t][o] * contrib
+                        return tuple(
+                            accs[o]
+                            + wt_ref[((wg * taps + t) * ch + c) * og + o]
+                            * contrib
+                            for o in range(og)
+                        )
+
+                    accs = jax.lax.fori_loop(0, taps, tap_body, accs)
                     row_new = win_c[
                         pl.ds(base + ry + j + TILE_S, 1), pl.ds(rx, lw)
                     ]
                     slab = jnp.concatenate([slab[1:], row_new], axis=0)
-                    return (tuple(new_accs), slab)
+                    return (accs, slab)
 
                 accs, _ = jax.lax.fori_loop(
                     0, jhi_s[g], j_body,
@@ -240,27 +271,32 @@ def _deform_band_kernel(
                 )
                 for o in range(og):
                     osl = pl.ds(o * BAND_ROWS + g * TILE_S, TILE_S)
-                    if c == 0:
-                        res_s[osl, lsl] = accs[o]
-                    else:
-                        res_s[osl, lsl] = res_s[osl, lsl] + accs[o]
+                    res_s[osl, lsl] = res_s[osl, lsl] + accs[o]
+            return 0
+
+        jax.lax.fori_loop(0, ch, chan_body, 0)
 
     # --- re-interleave: out[y, x*og + o] = res_s[o*BAND + y, x] ---
     sw = min(2 * TILE_L, w)
-    for T in range(w * og // TILE_L):
-        t_lo = min((T * TILE_L) // og // TILE_L, max(n_l - 2, 0))
+    n_lo = max(n_l - 2, 0)
+
+    def reint_tile(T, _):
+        t_lo = jnp.minimum((T * TILE_L) // og // TILE_L, n_lo)
         acc = jnp.zeros((BAND_ROWS, TILE_L), jnp.float32)
         for o in range(og):
             Q = _interleave_matrix(og, o, T, t_lo * TILE_L, sw)
             slab = res_s[
                 o * BAND_ROWS : (o + 1) * BAND_ROWS,
-                t_lo * TILE_L : t_lo * TILE_L + sw,
+                pl.ds(t_lo * TILE_L, sw),
             ]
             acc = acc + jnp.dot(
                 slab, Q, preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
-        out_ref[0, :, T * TILE_L : (T + 1) * TILE_L] = acc
+        out_ref[0, :, pl.ds(T * TILE_L, TILE_L)] = acc
+        return 0
+
+    jax.lax.fori_loop(0, w * og // TILE_L, reint_tile, 0)
 
 
 def _deform_pallas_nhwc(img3, off, wt, ch: int, og: int, ng: int,
