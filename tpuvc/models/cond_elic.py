@@ -63,17 +63,30 @@ class _SynthStage(nn.Module):
 
 
 class _Head(nn.Module):
-    """conv3x3 -> 3 RBB -> conv3x3 to head channels (g_o stages)."""
+    """conv3x3 -> 3 RBB -> conv3x3 to head channels (g_o stages).
+
+    ``zero_init`` zeroes the final conv so the head starts at 0 — used for
+    the offset flavor, where heads parameterize deformable sampling
+    positions: zero offsets at init mean alignment starts at the flow (v4)
+    or the identity (v3), the standard deformable-alignment practice
+    (BasicVSR++-style; cf. the reference's own zero-init of the flexrate
+    refinement synthesis, Flex-Rate…/b_model/layers.py:125-126). Trained
+    offsets are small; random-init O(1) offsets are both unstable to train
+    through and worst-case for the spread-adaptive TPU sampling kernel.
+    """
 
     features: int
     out_channels: int
+    zero_init: bool = False
 
     @nn.compact
     def __call__(self, x):
         x = Conv(self.features, kernel=3, stride=1)(x)
         for _ in range(3):
             x = ResidualBottleneckBlock(self.features)(x)
-        return Conv(self.out_channels, kernel=3, stride=1)(x)
+        return Conv(
+            self.out_channels, kernel=3, stride=1, zero_init=self.zero_init
+        )(x)
 
 
 class _EntropyParams(nn.Module):
@@ -121,6 +134,8 @@ class CondELIC(nn.Module):
     #: 257); False = same mode as the likelihoods (v3 noise-quantized
     #: training, offset_res_elic.py:346-348).
     ctx_ste: bool = True
+    #: zero-init the final conv of each g_o head (offset flavor — see _Head)
+    zero_head_init: bool = False
 
     def setup(self):
         N, M = self.N, self.M
@@ -133,11 +148,12 @@ class CondELIC(nn.Module):
 
         self.g_s3_blocks = [ResidualBottleneckBlock(M) for _ in range(3)]
         self.g_s3_up = Deconv(N, kernel=5, stride=2)
-        self.g_o3 = _Head(N, self.head_channels[2])
+        zi = self.zero_head_init
+        self.g_o3 = _Head(N, self.head_channels[2], zero_init=zi)
         self.g_s2 = _SynthStage(N)
-        self.g_o2 = _Head(N, self.head_channels[1])
+        self.g_o2 = _Head(N, self.head_channels[1], zero_init=zi)
         self.g_s1 = _SynthStage(N)
-        self.g_o1 = _Head(N, self.head_channels[0])
+        self.g_o1 = _Head(N, self.head_channels[0], zero_init=zi)
 
         self.h_a1 = Conv(N, kernel=3, stride=1)
         self.h_a2 = Conv(N, kernel=5, stride=2)
@@ -654,6 +670,7 @@ class CondELICCoder:
 
 def OffsetELIC(N: int = 128, M: int = 128, levels: int = 5, **kw) -> CondELIC:
     """Offset bottleneck: heads emit 27*8*2 = 432 deform params per scale."""
+    kw.setdefault("zero_head_init", True)
     return CondELIC(
         head_channels=(432, 432, 432), N=N, M=M, levels=levels, **kw
     )

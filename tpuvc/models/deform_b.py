@@ -50,6 +50,7 @@ class DeformB(nn.Module):
         self.offset_compressor = CondELIC(
             head_channels=(432, 432, 432), N=self.N, M=self.M,
             levels=self.levels, groups=self.groups, ctx_ste=False,
+            zero_head_init=True,
         )
         # Two deform convs per scale (one per reference), 8 groups each.
         self.deconv_l3_1 = DeformConv(features=fc[2], groups=8)

@@ -50,7 +50,16 @@ class MSFeature(nn.Module):
 
 
 class FlowNET(nn.Module):
-    """UNet flow estimator: in [ref1|ref2] (6ch), out 4ch (two flows)."""
+    """UNet flow estimator: in [ref1|ref2] (6ch), out 4ch (two flows).
+
+    The flow-emitting subpel conv is zero-initialized (RAFT-style flow-head
+    practice): the net predicts zero motion until trained. Trained flow
+    fields are spatially smooth; white-noise init flows are both a bad
+    training start (they drive the downstream warps/deform sampling with
+    garbage displacements) and the worst case for the spread-adaptive
+    sampling kernels (tpuvc/ops/{warp,deform}_pallas), whose cost tracks
+    the within-tile displacement spread.
+    """
 
     @nn.compact
     def __call__(self, x):
@@ -59,10 +68,10 @@ class FlowNET(nn.Module):
         s2 = _ConvRBB(128, blocks=2)(s1)
         s3 = _ConvRBB(192, blocks=2)(s2)
 
-        def up(x, feat, out):
+        def up(x, feat, out, zero_init=False):
             for _ in range(2):
                 x = ResidualBottleneckBlock(feat)(x)
-            return SubpelConv(out, r=2)(x)
+            return SubpelConv(out, r=2, zero_init=zero_init)(x)
 
         x = up(s3, 192, 128)
         x = Conv(128, kernel=1, stride=1)(jnp.concatenate([x, s2], axis=-1))
@@ -70,7 +79,7 @@ class FlowNET(nn.Module):
         x = Conv(64, kernel=1, stride=1)(jnp.concatenate([x, s1], axis=-1))
         x = up(x, 64, 32)
         x = Conv(32, kernel=1, stride=1)(jnp.concatenate([x, s0], axis=-1))
-        x = up(x, 32, 4)
+        x = up(x, 32, 4, zero_init=True)
         return x
 
 
