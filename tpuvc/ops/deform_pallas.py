@@ -83,6 +83,8 @@ def _deform_band_kernel(
     fy_s,          # (taps*BAND_ROWS, W) f32 scratch
     rys_s,         # SMEM (BAND_ROWS // TILE_S,): per-group union row start
     jhi_s,         # SMEM (BAND_ROWS // TILE_S,): per-group j-loop bound
+    tjlo_s,        # SMEM (n_s*taps,): per-(group, tap) first active j
+    tjhi_s,        # SMEM (n_s*taps,): per-(group, tap) last active j
     rlo_s,         # SMEM (2,): window row start, quantized dx
     sem,
 ):
@@ -176,7 +178,16 @@ def _deform_band_kernel(
 
         def clamp_tap(t, _, g=g, ry_g=ry_g):
             sl = pl.ds(t * BAND_ROWS + g * TILE_S, TILE_S)
-            rloc_s[sl, :] = jnp.clip(rloc_s[sl, :] - ry_g, 0, lh - 2)
+            rr = jnp.clip(rloc_s[sl, :] - ry_g, 0, lh - 2)
+            rloc_s[sl, :] = rr
+            # Active j range of THIS tap within the group's union walk:
+            # hit is nonzero only for j in [rl, rl+1], so the tap can skip
+            # every j outside [min(rr), max(rr)+1]. With trained (low
+            # spread) offsets the 9 taps' bases span 3 rows while each tap
+            # covers ~2 — gating the tap body on this range skips ~60% of
+            # the gather work at the union walk's zero-spread floor.
+            tjlo_s[g * taps + t] = jnp.min(rr)
+            tjhi_s[g * taps + t] = jnp.max(rr) + 1
             return 0
 
         jax.lax.fori_loop(0, taps, clamp_tap, 0)
@@ -235,27 +246,39 @@ def _deform_band_kernel(
 
                     def tap_body(t, accs, g=g, c=c, j=j, slab=slab,
                                  lsl=lsl):
-                        sl = pl.ds(t * BAND_ROWS + g * TILE_S, TILE_S)
-                        xl = xloc_s[sl, lsl]
-                        g0 = _lane_gather(slab, xl)
-                        g1 = _lane_gather(slab, xl + 1)
-                        fx_t = fx_s[sl, lsl]
-                        fy_t = fy_s[sl, lsl]
-                        rl = rloc_s[sl, lsl]
-                        c_row = (1.0 - fx_t) * g0 + fx_t * g1
-                        hit = (
-                            (rl == j).astype(jnp.float32) * (1.0 - fy_t)
-                            + (rl == j - 1).astype(jnp.float32) * fy_t
-                        )
-                        msk = tap_ref[
-                            0, 0, t, 2, pl.ds(g * TILE_S, TILE_S), lsl
-                        ]
-                        contrib = hit * c_row * msk
-                        return tuple(
-                            accs[o]
-                            + wt_ref[((wg * taps + t) * ch + c) * og + o]
-                            * contrib
-                            for o in range(og)
+                        def active(accs, t=t, g=g, c=c, j=j, slab=slab,
+                                   lsl=lsl):
+                            sl = pl.ds(t * BAND_ROWS + g * TILE_S, TILE_S)
+                            xl = xloc_s[sl, lsl]
+                            g0 = _lane_gather(slab, xl)
+                            g1 = _lane_gather(slab, xl + 1)
+                            fx_t = fx_s[sl, lsl]
+                            fy_t = fy_s[sl, lsl]
+                            rl = rloc_s[sl, lsl]
+                            c_row = (1.0 - fx_t) * g0 + fx_t * g1
+                            hit = (
+                                (rl == j).astype(jnp.float32) * (1.0 - fy_t)
+                                + (rl == j - 1).astype(jnp.float32) * fy_t
+                            )
+                            msk = tap_ref[
+                                0, 0, t, 2, pl.ds(g * TILE_S, TILE_S), lsl
+                            ]
+                            contrib = hit * c_row * msk
+                            return tuple(
+                                accs[o]
+                                + wt_ref[((wg * taps + t) * ch + c) * og + o]
+                                * contrib
+                                for o in range(og)
+                            )
+
+                        # Skip the gathers when this j is outside the tap's
+                        # own [min, max+1] hit range (see clamp_tap).
+                        return jax.lax.cond(
+                            (j >= tjlo_s[g * taps + t])
+                            & (j <= tjhi_s[g * taps + t]),
+                            active,
+                            lambda accs: accs,
+                            accs,
                         )
 
                     accs = jax.lax.fori_loop(0, taps, tap_body, accs)
@@ -340,6 +363,8 @@ def _deform_pallas_nhwc(img3, off, wt, ch: int, og: int, ng: int,
             pltpu.VMEM((T * BAND_ROWS, W), jnp.float32),  # fy
             pltpu.SMEM((BAND_ROWS // TILE_S,), jnp.int32),  # rys
             pltpu.SMEM((BAND_ROWS // TILE_S,), jnp.int32),  # jhi
+            pltpu.SMEM((BAND_ROWS // TILE_S * T,), jnp.int32),  # tjlo
+            pltpu.SMEM((BAND_ROWS // TILE_S * T,), jnp.int32),  # tjhi
             pltpu.SMEM((2,), jnp.int32),                  # r_lo, qdx
             pltpu.SemaphoreType.DMA,
         ],
