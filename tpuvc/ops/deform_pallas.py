@@ -85,6 +85,8 @@ def _deform_band_kernel(
     jhi_s,         # SMEM (BAND_ROWS // TILE_S,): per-group j-loop bound
     tjlo_s,        # SMEM (n_s*taps,): per-(group, tap) first active j
     tjhi_s,        # SMEM (n_s*taps,): per-(group, tap) last active j
+    kuni_s,        # SMEM (n_s*taps,): uniform-dx shift k, or -1 if the
+                   # tap's window cols are not lane + k over interior tiles
     rlo_s,         # SMEM (2,): window row start, quantized dx
     sem,
 ):
@@ -188,6 +190,24 @@ def _deform_band_kernel(
             # the gather work at the union walk's zero-spread floor.
             tjlo_s[g * taps + t] = jnp.min(rr)
             tjhi_s[g * taps + t] = jnp.max(rr) + 1
+            # Uniform-dx detection over the interior lane tiles: when the
+            # (post-clip) window cols of this (group, tap) strip equal
+            # lane + k for one constant k, the 3-tile lane-gather pair in
+            # the tap body degenerates to a dynamic lane roll by k (see
+            # tap_body). True for every tap at zero offset diversity and
+            # wherever floor(dx) is locally constant (smooth trained flow);
+            # edge tiles always take the general path, so the check only
+            # covers cols [TILE_L, (n_l-1)*TILE_L).
+            if n_l >= 3:
+                isl = slice(TILE_L, (n_l - 1) * TILE_L)
+                d = xloc_s[sl, isl] - icols[:TILE_S, isl] % TILE_L
+                dmin = jnp.min(d)
+                uni = (dmin == jnp.max(d)) & (dmin >= 0) & (
+                    dmin <= lw - TILE_L - 1
+                )
+                kuni_s[g * taps + t] = jnp.where(uni, dmin, -1)
+            else:
+                kuni_s[g * taps + t] = -1
             return 0
 
         jax.lax.fori_loop(0, taps, clamp_tap, 0)
@@ -240,18 +260,48 @@ def _deform_band_kernel(
                 )
                 zero = jnp.zeros((TILE_S, TILE_L), jnp.float32)
 
+                interior = 1 <= tl <= n_l - 2
+
                 def j_body(j, carry, g=g, c=c, base=base, ry=ry, rx=rx,
-                           lsl=lsl):
+                           lsl=lsl, interior=interior):
                     accs, slab = carry
 
                     def tap_body(t, accs, g=g, c=c, j=j, slab=slab,
-                                 lsl=lsl):
+                                 lsl=lsl, interior=interior):
                         def active(accs, t=t, g=g, c=c, j=j, slab=slab,
-                                   lsl=lsl):
+                                   lsl=lsl, interior=interior):
                             sl = pl.ds(t * BAND_ROWS + g * TILE_S, TILE_S)
-                            xl = xloc_s[sl, lsl]
-                            g0 = _lane_gather(slab, xl)
-                            g1 = _lane_gather(slab, xl + 1)
+
+                            def pair_general(slab=slab, sl=sl, lsl=lsl):
+                                xl = xloc_s[sl, lsl]
+                                return (
+                                    _lane_gather(slab, xl),
+                                    _lane_gather(slab, xl + 1),
+                                )
+
+                            def pair_uniform(slab=slab, t=t, g=g):
+                                # Certified in clamp_tap: window cols of
+                                # this strip are lane + k over interior
+                                # tiles, so both bilinear column reads are
+                                # one dynamic lane roll (plus a static +1).
+                                # pltpu.roll(x, s, axis=1)[l] == x[l - s],
+                                # so x[l + k] needs shift (lw - k) % lw.
+                                lw_ = slab.shape[1]
+                                k = kuni_s[g * taps + t]
+                                r0 = pltpu.roll(
+                                    slab, (lw_ - k) % lw_, axis=1
+                                )
+                                r1 = pltpu.roll(r0, lw_ - 1, axis=1)
+                                return r0[:, :TILE_L], r1[:, :TILE_L]
+
+                            if interior:
+                                g0, g1 = jax.lax.cond(
+                                    kuni_s[g * taps + t] >= 0,
+                                    pair_uniform,
+                                    pair_general,
+                                )
+                            else:
+                                g0, g1 = pair_general()
                             fx_t = fx_s[sl, lsl]
                             fy_t = fy_s[sl, lsl]
                             rl = rloc_s[sl, lsl]
@@ -365,6 +415,7 @@ def _deform_pallas_nhwc(img3, off, wt, ch: int, og: int, ng: int,
             pltpu.SMEM((BAND_ROWS // TILE_S,), jnp.int32),  # jhi
             pltpu.SMEM((BAND_ROWS // TILE_S * T,), jnp.int32),  # tjlo
             pltpu.SMEM((BAND_ROWS // TILE_S * T,), jnp.int32),  # tjhi
+            pltpu.SMEM((BAND_ROWS // TILE_S * T,), jnp.int32),  # kuni
             pltpu.SMEM((2,), jnp.int32),                  # r_lo, qdx
             pltpu.SemaphoreType.DMA,
         ],
