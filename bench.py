@@ -1,6 +1,6 @@
 """Benchmark: 1080p GOP-16 B-frame enc+dec throughput on one chip.
 
-Prints one JSON line:
+Prints one-or-more JSON lines (each complete; LAST line is the record):
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
 Headline (BASELINE.json names "enc+dec ... throughput"): REAL-bitstream
@@ -9,11 +9,20 @@ level-batched encode producing rANS streams (flows + MV codec + warps +
 mask + residual codec + host rANS), then the batched decode of those
 streams, with decode bit-exactness asserted. fps counts each B-frame once
 through encode AND once through decode: fps = 2*frames/(t_enc + t_dec).
-The likelihood-eval fps (round-1 headline; no host coder in the loop) is
-reported as ``eval_fps``.
 
-Anchor: the round-1 0.1 fps figure was an estimate; it is now anchored on
-measurement. ``python scripts/torch_anchor.py`` times a compute-equivalent
+Driver-window discipline (round-2 lesson: BENCH_r02 was rc=124 because
+warm-up took ~29 min loading ~9 coder graphs x 3 batch shapes through the
+remote compile service, ~150 s per batch shape):
+  * ONE batch shape. A 2-GOP cross window makes every hierarchy level a
+    multiple of 4 frames except level 1 (2 frames, padded by duplication
+    to 4 — 6.25% padded compute, counted as overhead: fps counts real
+    frames only).
+  * Wall-clock budget ``TPUVC_BENCH_BUDGET_S`` (default 420 s): the
+    headline enc+dec JSON is printed as soon as one measured window
+    exists; extra measurement windows and the likelihood-eval fps are
+    added only while budget remains, each re-emitting an enriched line.
+
+Anchor: ``python scripts/torch_anchor.py`` times a compute-equivalent
 PyTorch-CPU (eager) LHBDC B-frame eval forward at 1088x1920:
 **91.7 s/frame (0.0109 fps) single-thread** on this host (1 CPU core,
 torch 2.13). The normalization below conservatively credits the reference
@@ -21,20 +30,34 @@ torch 2.13). The normalization below conservatively credits the reference
 bound on the CPU anchor, since (a) conv threading never scales ideally and
 (b) the torch figure omits the reference's host rANS coding, which the
 real-coding path measured here does include.
+
+``stream_bpp`` is from RANDOM-INIT weights — a smoke metric for stream
+plumbing only, NOT an RD number (RD validation needs trained weights;
+see scripts/validate_rd.sh).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 ANCHOR_CPU_FPS = 0.1  # conservative many-core extrapolation (see docstring)
 ANCHOR_MEASURED_1THREAD_FPS = 0.0109  # scripts/torch_anchor.py on this host
 
+BUDGET_S = float(os.environ.get("TPUVC_BENCH_BUDGET_S", "420"))
+_T0 = time.perf_counter()
+
+
+def _remaining():
+    return BUDGET_S - (time.perf_counter() - _T0)
+
+
+def _emit(payload):
+    print(json.dumps(payload), flush=True)
+
 
 def main():
-    import os
-
     import jax
 
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
@@ -48,12 +71,13 @@ def main():
 
     from tpuvc.coder.container import BFrameBitstream
     from tpuvc.gop.order import gop_coding_table
-    from tpuvc.gop.scheduler import code_gops_batched
     from tpuvc.models.lhbdc import LHBDC, LHBDCCoder
     from tpuvc.ops.precision import mixed_precision
 
     model = LHBDC(N=128)
     h, w = 1088, 1920  # 1080p padded to x64
+    if os.environ.get("TPUVC_BENCH_HW"):  # smoke-test override, e.g. 192x192
+        h, w = (int(s) for s in os.environ["TPUVC_BENCH_HW"].split("x"))
     small = jnp.zeros((1, 192, 192, 3), jnp.float32)
     variables = model.init(
         jax.random.key(0), small, small, small, "dequantize"
@@ -66,40 +90,66 @@ def main():
         jnp.asarray(np.clip(base + i * drift, 0, 1))[None] for i in range(17)
     ]
 
-    # ---- real-bitstream enc+dec (headline) ----
     gop = 16
-    max_batch = 4
-    coder = LHBDCCoder(model, variables)
+    G = 2  # cross-GOP window: level widths 2/4/8/16 -> uniform batch-4 chunks
+    B = 4  # the single compiled batch shape
     table16 = gop_coding_table(gop)
+    starts = list(range(0, G * gop, gop))
+    # Window slots alias the 17 unique frame contents (content does not
+    # affect throughput; aliasing bounds HBM at G*16+1 device frames).
+    slot = [frames[i if i <= gop else i - gop] for i in range(G * gop + 1)]
+    anchors = {g: slot[g] for g in range(0, G * gop + 1, gop)}
+    levels_abs = [
+        [g + f for g in starts for f in level]
+        for level in table16.frames_by_level()
+    ]
+    n_real = G * (gop - 1)  # real B-frames per window
 
-    def code_gop():
-        decoded = {0: frames[0], gop: frames[gop]}
-        out_bits = []
+    def chunks_padded(abs_frames):
+        for c0 in range(0, len(abs_frames), B):
+            chunk = abs_frames[c0 : c0 + B]
+            nr = len(chunk)
+            chunk = chunk + [chunk[-1]] * (B - nr)
+            yield chunk, nr
+
+    def refs_of(f):
+        g = (f // gop) * gop
+        a, b = table16.refs[f - g]
+        return g + a, g + b
+
+    coder = LHBDCCoder(model, variables)
+
+    def code_window():
+        decoded = dict(anchors)
         recons = {}
-        for level_frames in table16.frames_by_level():
-            for c0 in range(0, len(level_frames), max_batch):
-                chunk = level_frames[c0 : c0 + max_batch]
-                refs = [table16.refs[f] for f in chunk]
+        pending = []
+        for abs_frames in levels_abs:
+            for chunk, nr in chunks_padded(abs_frames):
+                refs = [refs_of(f) for f in chunk]
                 xb = jnp.concatenate([decoded[a] for a, _ in refs], axis=0)
                 xa = jnp.concatenate([decoded[b] for _, b in refs], axis=0)
-                xc = jnp.concatenate([frames[f] for f in chunk], axis=0)
-                bits, x_hat = coder.encode_level_batch(
+                xc = jnp.concatenate([slot[f] for f in chunk], axis=0)
+                # async: next level's device work dispatches while this
+                # level's symbols stream back / rANS packs on workers
+                resolve, x_hat = coder.encode_level_batch_async(
                     xb, xc, xa, rate_id=845
                 )
-                for i, f in enumerate(chunk):
+                for i, f in enumerate(chunk[:nr]):
                     decoded[f] = x_hat[i : i + 1]
                     recons[f] = x_hat[i : i + 1]
-                    out_bits.append((f, bits[i]))
+                pending.append((chunk[:nr], resolve))
+        out_bits = []
+        for real, resolve in pending:
+            out_bits.extend(zip(real, resolve()))
         return out_bits, recons
 
-    def decode_gop(out_bits):
-        decoded = {0: frames[0], gop: frames[gop]}
+    def decode_window(out_bits):
+        decoded = dict(anchors)
         stream_of = dict(out_bits)
         outs = {}
-        for level_frames in table16.frames_by_level():
-            for c0 in range(0, len(level_frames), max_batch):
-                chunk = level_frames[c0 : c0 + max_batch]
-                refs = [table16.refs[f] for f in chunk]
+        for abs_frames in levels_abs:
+            for chunk, nr in chunks_padded(abs_frames):
+                refs = [refs_of(f) for f in chunk]
                 xb = jnp.concatenate([decoded[a] for a, _ in refs], axis=0)
                 xa = jnp.concatenate([decoded[b] for _, b in refs], axis=0)
                 parsed = [
@@ -107,80 +157,109 @@ def main():
                     for f in chunk
                 ]
                 x_hat = coder.decode_level_batch(xb, xa, parsed)
-                for i, f in enumerate(chunk):
+                for i, f in enumerate(chunk[:nr]):
                     decoded[f] = x_hat[i : i + 1]
                     outs[f] = x_hat[i : i + 1]
         return outs
 
-    warm_bits, warm_recons = code_gop()  # compile/load encode graphs
-    dec_out = decode_gop(warm_bits)      # compile/load decode graphs
+    warm_bits, warm_recons = code_window()  # load/compile encode graphs
+    dec_out = decode_window(warm_bits)      # load/compile decode graphs
     bit_exact = all(
         bool(jnp.array_equal(dec_out[f], warm_recons[f])) for f in dec_out
     )
     assert bit_exact, "decode does not reproduce encoder reconstruction"
+    warm_s = time.perf_counter() - _T0
 
-    n_b = gop - 1
-    enc_windows = 2
-    t0 = time.perf_counter()
+    def payload(t_enc, t_dec, nwin, total_bytes, extra=None):
+        encdec_fps = 2 * nwin * n_real / (t_enc + t_dec)
+        out = {
+            "metric": "lhbdc_1080p_gop16_encdec_fps",
+            "value": round(encdec_fps, 3),
+            "unit": "B-frames/s/chip",
+            "vs_baseline": round(encdec_fps / ANCHOR_CPU_FPS, 2),
+            "encode_fps": round(nwin * n_real / t_enc, 3),
+            "decode_fps": round(nwin * n_real / t_dec, 3),
+            "stream_bpp_random_init_smoke": round(
+                8 * total_bytes / (nwin * n_real * h * w), 4
+            ),
+            "decode_bit_exact": bit_exact,
+            "measured_windows": nwin,
+            "padded_compute_pct": round(100 * 2 / (n_real + 2), 2),
+            "warmup_s": round(warm_s, 1),
+            "anchor_cpu_fps": ANCHOR_CPU_FPS,
+            "anchor_measured_1thread_fps": ANCHOR_MEASURED_1THREAD_FPS,
+        }
+        if extra:
+            out.update(extra)
+        return out
+
+    # --- measured windows: emit after the first, refine while budget lasts
+    t_enc = t_dec = 0.0
+    nwin = 0
     total_bytes = 0
-    for _ in range(enc_windows):
-        out_bits, _ = code_gop()
+    max_windows = 2
+    while nwin < max_windows:
+        t0 = time.perf_counter()
+        out_bits, _ = code_window()
+        t_enc += time.perf_counter() - t0
         total_bytes += sum(b.num_bytes for _, b in out_bits)
-    t_enc = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for _ in range(enc_windows):
-        decode_gop(warm_bits)
-    t_dec = time.perf_counter() - t0
-    encdec_fps = 2 * enc_windows * n_b / (t_enc + t_dec)
-    bpp = 8 * total_bytes / (enc_windows * n_b * h * w)
+        t0 = time.perf_counter()
+        decode_window(warm_bits)
+        t_dec += time.perf_counter() - t0
+        nwin += 1
+        _emit(payload(t_enc, t_dec, nwin, total_bytes))
+        # another window costs ~ (t_enc + t_dec)/nwin; keep reserve for eval
+        if _remaining() < 1.3 * (t_enc + t_dec) / nwin + 60:
+            break
 
-    # ---- likelihood-eval fps (round-1 headline, kept as a tracked extra;
-    # cross-GOP level batching per PERF.md) ----
-    @jax.jit
-    def forward(v, r1, r2, xc):
-        with mixed_precision():
-            out = model.apply(v, r1, xc, r2, "dequantize")
-        return out["x_hat"], out["sizes"]
+    # --- likelihood-eval fps (round-1 headline, tracked extra) — only if
+    # budget allows warming the eval graph (single batch-4 shape).
+    per_window_cost = (t_enc + t_dec) / nwin
+    if _remaining() > max(90.0, 0.5 * per_window_cost):
+        @jax.jit
+        def forward(v, r1, r2, xc):
+            with mixed_precision():
+                out = model.apply(v, r1, xc, r2, "dequantize")
+            return out["x_hat"], out["sizes"]
 
-    def inter_fn(r1, r2, xcur, idxs, refs):
-        return forward(variables, r1, r2, xcur)
+        def eval_window():
+            decoded = dict(anchors)
+            size_parts = []
+            for abs_frames in levels_abs:
+                for chunk, nr in chunks_padded(abs_frames):
+                    refs = [refs_of(f) for f in chunk]
+                    xb = jnp.concatenate(
+                        [decoded[a] for a, _ in refs], axis=0
+                    )
+                    xa = jnp.concatenate(
+                        [decoded[b] for _, b in refs], axis=0
+                    )
+                    xc = jnp.concatenate([slot[f] for f in chunk], axis=0)
+                    x_hat, sizes = forward(variables, xb, xa, xc)
+                    for i, f in enumerate(chunk[:nr]):
+                        decoded[f] = x_hat[i : i + 1]
+                    size_parts.append(sizes[:nr])
+            # one deferred fetch per window (the relay round trip is ~30 ms)
+            return float(jnp.sum(jnp.concatenate(size_parts)))
 
-    G = 2
-    frames_w = [frames[i if i < 17 else i - 16] for i in range(G * 16 + 1)]
-    anchors = {g: frames_w[g] for g in range(0, G * 16 + 1, 16)}
-    starts = list(range(0, G * 16, 16))
-    code_gops_batched(
-        frames_w, anchors, table16, inter_fn, starts, max_batch=8
-    )  # warm
-    windows = 2
-    t0 = time.perf_counter()
-    total_bits = 0.0
-    for _ in range(windows):
-        _, sizes = code_gops_batched(
-            frames_w, anchors, table16, inter_fn, starts, max_batch=8
+        eval_window()  # warm
+        ewin = 0
+        dt = 0.0
+        total_bits = 0.0
+        while ewin < 2:
+            t0 = time.perf_counter()
+            total_bits += eval_window()
+            dt += time.perf_counter() - t0
+            ewin += 1
+            if _remaining() < 1.3 * dt / ewin:
+                break
+        assert total_bits > 0
+        _emit(
+            payload(
+                t_enc, t_dec, nwin, total_bytes,
+                extra={"eval_fps": round(ewin * n_real / dt, 3)},
+            )
         )
-        total_bits += sum(sizes.values())
-    dt = time.perf_counter() - t0
-    assert total_bits > 0
-    eval_fps = windows * G * 15 / dt
-
-    print(
-        json.dumps(
-            {
-                "metric": "lhbdc_1080p_gop16_encdec_fps",
-                "value": round(encdec_fps, 3),
-                "unit": "B-frames/s/chip",
-                "vs_baseline": round(encdec_fps / ANCHOR_CPU_FPS, 2),
-                "eval_fps": round(eval_fps, 3),
-                "encode_fps": round(enc_windows * n_b / t_enc, 3),
-                "decode_fps": round(enc_windows * n_b / t_dec, 3),
-                "stream_bpp": round(bpp, 4),
-                "decode_bit_exact": bit_exact,
-                "anchor_cpu_fps": ANCHOR_CPU_FPS,
-                "anchor_measured_1thread_fps": ANCHOR_MEASURED_1THREAD_FPS,
-            }
-        )
-    )
 
 
 if __name__ == "__main__":

@@ -190,8 +190,32 @@ def golden_elic() -> dict:
     }
 
 
+def golden_lhbdc_mid() -> dict:
+    """LHBDC at 256x384: past the Pallas routing thresholds
+    (ops.deform._use_pallas_sampling / ops.warp gating), so the TPU-backend
+    fixture locks the band-kernel warp numerics that the 64x64 cases never
+    reach. On CPU this runs the XLA gather path (fixtures differ per
+    backend file, tests compare like for like)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuvc.models.lhbdc import LHBDC, LHBDCCoder
+
+    model = LHBDC(N=32)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.key(11), x, x, x, "dequantize")
+    coder = LHBDCCoder(model, variables)
+    x1, xc, x2 = _frames((1, 256, 384, 3), seed=13)
+    bits, x_hat = coder.encode_recon(x1, xc, x2, rate_id=845)
+    blob = bits.serialize()
+    dec = coder.decode(x1, x2, type(bits).deserialize(blob))
+    assert jnp.array_equal(dec, x_hat), "decode != encoder recon"
+    return _record(blob, x_hat, xc)
+
+
 CASES = {
     "lhbdc": golden_lhbdc,
+    "lhbdc_mid": golden_lhbdc_mid,
     "flexrate": golden_flexrate,
     "deform_b": golden_deform_b,
     "flowguided_b": golden_flowguided_b,

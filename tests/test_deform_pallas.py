@@ -61,6 +61,31 @@ class TestDeformSampleAccum:
         out = deform_sample_accum(img, flows, masks, weights, interpret=True)
         np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.slow
+    def test_multi_tile_ramp(self, rng):
+        """Per-(group, lane-tile) walk ranges: a smooth offset field with a
+        large GLOBAL vertical ramp across the width (3 lane tiles) must stay
+        exact — the ramp spans more rows than LOCAL_H allows per tile, but
+        each 8x128 patch's local union is small, which is precisely the
+        regime the per-tile ranges were built for."""
+        B, H, W, C, T, Og = 1, 32, 384, 2, 3, 2
+        img = jnp.asarray(rng.random((B, H, W, C), dtype=np.float32))
+        # smooth local jitter (+-1.5) + a +-12 px dy ramp across the width
+        coarse = rng.standard_normal((B, T, 4, 6, 2)).astype(np.float32)
+        smooth = np.asarray(
+            jax.image.resize(jnp.asarray(coarse), (B, T, H, W, 2), "bilinear")
+        ) * 1.5
+        ramp = np.linspace(-12.0, 12.0, W, dtype=np.float32)
+        smooth[..., 1] += ramp[None, None, None, :]
+        flows = jnp.asarray(smooth)
+        masks = jnp.asarray(rng.random((B, T, H, W), dtype=np.float32))
+        weights = jnp.asarray(
+            rng.standard_normal((T, C, Og), dtype=np.float32)
+        )
+        ref = _reference(img, flows, masks, weights)
+        out = deform_sample_accum(img, flows, masks, weights, interpret=True)
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
     def test_zero_pad_semantics(self, rng):
         # large uniform shift: everything sampled from outside is zero
         B, H, W, C, T, Og = 1, 16, 32, 1, 1, 1

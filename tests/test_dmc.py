@@ -65,6 +65,7 @@ class TestPFrameDMC:
         assert ratio in (1.0, 2.0, 4.0)
         assert np.isfinite(psnr)
 
+    @pytest.mark.slow
     def test_grads(self, dmc, rng):
         model, variables = dmc
         ref, x = _pair(rng)

@@ -81,6 +81,7 @@ class TestELIC:
         out = model.apply(variables, x, "dequantize", stage2=True)
         assert out["x_hat"].shape == x.shape
 
+    @pytest.mark.slow
     def test_noise_mode_grads(self, elic, rng):
         model, variables = elic
         x = jnp.asarray(rng.random((1, 64, 64, 3), dtype=np.float32))

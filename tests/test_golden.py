@@ -24,7 +24,18 @@ def golden():
         return json.load(f)
 
 
-@pytest.mark.parametrize("family", sorted(CASES))
+_HEAVY = {"deform_b", "flowguided_b", "dmc", "elic", "lhbdc_mid"}
+# heavy families compile for minutes on small hosts; the light
+# lhbdc/flexrate cases keep stream-byte regression in the fast tier
+
+
+@pytest.mark.parametrize(
+    "family",
+    [
+        pytest.param(f, marks=pytest.mark.slow) if f in _HEAVY else f
+        for f in sorted(CASES)
+    ],
+)
 def test_golden(family, golden):
     expected = golden[family]
     got = CASES[family]()

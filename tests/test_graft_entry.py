@@ -1,5 +1,9 @@
 import sys
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; the driver runs entry()/dryrun_multichip itself
+
 sys.path.insert(0, "/root/repo")
 
 

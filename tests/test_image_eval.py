@@ -1,6 +1,7 @@
 """Still-image (Kodak-style) eval: dataset, runner, CLI smoke."""
 
 import numpy as np
+import pytest
 
 from tpuvc.data.kodak import SyntheticImages
 from tpuvc.eval.image_runner import eval_images
@@ -46,6 +47,7 @@ def test_image_folder(tmp_path):
     assert ds.size(1) == (80, 130)
 
 
+@pytest.mark.slow
 def test_cli_smoke(tmp_path, capsys):
     from tpuvc.cli.test_image import main
 

@@ -54,6 +54,7 @@ class TestLHBDC:
             np.asarray(o1["x_hat"]), np.asarray(o2["x_hat"])
         )
 
+    @pytest.mark.slow
     def test_grad_flows(self, model_and_vars, rng):
         model, variables = model_and_vars
         xb, xc, xa = _frames(rng)

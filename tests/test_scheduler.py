@@ -69,6 +69,7 @@ class TestLevelBatchedGop:
             ), f
 
 
+@pytest.mark.slow
 class TestShardedEval:
     def test_sharded_level_batches_match_single_device(self, lhbdc, rng):
         """shard_eval splits each level batch across the 8-device CPU mesh;
@@ -134,6 +135,7 @@ class TestShardedEval:
         assert y.shape == (3, 4) and s.shape == (3,)
 
 
+@pytest.mark.slow
 class TestSpatialSharding:
     def test_h_sharded_forward_matches_replicated(self, lhbdc, rng):
         """Context-parallel analog: shard the H axis of the frames across
@@ -203,6 +205,7 @@ class TestSpatialSharding:
             f"{diff}); relax the shard_spatial constraint"
         )
 
+@pytest.mark.slow
 class TestCrossGopBatched:
     def test_matches_per_gop(self, lhbdc, rng):
         """code_gops_batched over a 2-GOP window must reproduce the per-GOP

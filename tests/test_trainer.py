@@ -101,6 +101,42 @@ class TestLHBDCTrainer:
         assert float(jnp.abs(jax.tree.leaves(params)[0] - p0).sum()) > 0
 
 
+class TestTrainingConverges:
+    def test_training_converges(self, rng):
+        """Loss/MSE/rate trajectory regression (VERDICT r2 task #7): a tiny
+        LHBDC trained on synthetic frames must actually optimize the RD
+        objective, not merely change parameters. Mirrors the manual
+        measurement in PERF.md (300 steps: MSE 2.95 -> 1.9e-3, rate
+        1.59 -> 0.146 bpp) at test scale."""
+        from tpuvc.models.lhbdc import LHBDC
+
+        model = LHBDC(N=16)
+        x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        variables = model.init(jax.random.key(0), x, x, x, "dequantize")
+        tx = make_optimizer(lr=1e-3, lr_drop_step=None)
+        state = init_state(variables["params"], tx)
+        step = make_lhbdc_step(model, tx, alpha=3141.0)
+
+        ds = SyntheticSeptuplets(n=2, size=96)
+        it = make_batch_iterator(ds, batch_size=2, crop=64, n_frames=3)
+        batch = jnp.asarray(next(it))
+
+        params, opt = state.params, state.opt_state
+        first, last = None, None
+        for i in range(180):
+            params, opt, metrics = step(
+                params, opt, batch, jax.random.key(i)
+            )
+            if i == 0:
+                first = jax.tree.map(float, metrics)
+        last = jax.tree.map(float, metrics)
+
+        assert np.isfinite(last["loss"])
+        assert last["loss"] < 0.25 * first["loss"], (first, last)
+        assert last["mse"] < 0.05 * first["mse"], (first, last)
+        assert last["rate"] < first["rate"], (first, last)
+
+
 class TestRecursiveTrainer:
     def test_stage1_and_stage2(self, rng):
         from tpuvc.models.flowguided_b import FlowGuidedB

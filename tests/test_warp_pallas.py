@@ -152,6 +152,7 @@ def test_zero_pad_sampling_matches_xla():
     np.testing.assert_allclose(out_k, out_x, atol=ATOL)
 
 
+@pytest.mark.slow
 def test_zero_pad_sampling_channel_chunking():
     from tpuvc.ops.deform import _warp_zero_pad, _warp_zero_pallas
 
@@ -163,6 +164,7 @@ def test_zero_pad_sampling_channel_chunking():
     np.testing.assert_allclose(out_k, out_x, atol=ATOL)
 
 
+@pytest.mark.slow
 def test_wide_channel_chunking():
     """warp_pallas_chunked splits C > MAX_CHANNELS into kernel-width slices
     sharing the flow; must match the XLA gather path (incl. a ragged tail)."""

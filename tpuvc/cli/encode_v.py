@@ -261,6 +261,7 @@ def _encode_level_batched(args, frames, coder, intra_coder):
         for g in starts:
             decoded[g] = anchors[g]
             decoded[g + gop] = anchors[g + gop]
+        pending = []  # (chunk, resolve) — host phases drain on workers
         for level_frames in table.frames_by_level():
             work = [(g0, f) for f in level_frames for g0 in starts]
             for c0 in range(0, len(work), args.max_batch):
@@ -279,16 +280,18 @@ def _encode_level_batched(args, frames, coder, intra_coder):
                     [device_frame(frames.u8(g0 + f)) for g0, f in chunk],
                     axis=0,
                 )
+                # async variants: the next chunk's device work dispatches
+                # while this chunk's symbols stream back / rANS packs
                 if args.family == "lhbdc":
-                    bits, x_hat = coder.encode_level_batch(
+                    resolve, x_hat = coder.encode_level_batch_async(
                         xb, xc, xa, rate_id=args.l
                     )
                 elif args.family == "flexrate":
-                    bits, x_hat = coder.encode_level_batch(
+                    resolve, x_hat = coder.encode_level_batch_async(
                         xb, xc, xa, n=args.n, l=args.interp
                     )
                 elif args.family == "deform_b":
-                    bits, x_hat = coder.encode_level_batch(
+                    resolve, x_hat = coder.encode_level_batch_async(
                         xb, xa, xc, s=args.s
                     )
                 else:
@@ -296,19 +299,22 @@ def _encode_level_batched(args, frames, coder, intra_coder):
 
                     a0, b0 = refs[0]
                     s1, s2 = get_scales(chunk[0][1], a0, b0)
-                    bits, x_hat = coder.encode_level_batch(
+                    resolve, x_hat = coder.encode_level_batch_async(
                         xb, xa, xc, s=args.s, scale1=s1, scale2=s2,
                         down_ratio=args.down_ratio,
                     )
                 x_hat = jnp.clip(x_hat, 0.0, 1.0)
                 for i, (g0, f) in enumerate(chunk):
                     decoded[g0 + f] = x_hat[i : i + 1]
-                    records.append(("B", g0 + f, bits[i].serialize()))
+                pending.append((chunk, resolve))
                 if timing:
                     print(
                         f"  chunk {chunk} (B={len(chunk)}): "
-                        f"{time.perf_counter() - tc:.2f}s"
+                        f"{time.perf_counter() - tc:.2f}s dispatch"
                     )
+        for chunk, resolve in pending:
+            for (g0, f), b in zip(chunk, resolve()):
+                records.append(("B", g0 + f, b.serialize()))
         print(f"window {w0}..{starts[-1] + gop} coded")
 
     # Policy wraps the jit call sites (graphs trace under it); the header

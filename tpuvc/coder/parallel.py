@@ -27,3 +27,16 @@ def parallel_map(fn, items):
     if len(items) <= 1:
         return [fn(x) for x in items]
     return list(host_pool().map(fn, items))
+
+
+_ASYNC_POOL: ThreadPoolExecutor | None = None
+
+
+def async_pool() -> ThreadPoolExecutor:
+    """Separate pool for the encode-side async host phases (symbol fetch +
+    stream packing). Distinct from host_pool so a host phase that fans out
+    into parallel_map cannot deadlock waiting for workers of its own pool."""
+    global _ASYNC_POOL
+    if _ASYNC_POOL is None:
+        _ASYNC_POOL = ThreadPoolExecutor(max_workers=2)
+    return _ASYNC_POOL

@@ -388,7 +388,7 @@ class CondELICCoder:
         }
 
     def _code_group(self, i, curr_y, hyper, prev, streams=None,
-                    per_sample=False):
+                    per_sample=False, submit=False):
         """Two-phase checkerboard coding of group i at batch B.
 
         per_sample=False: one stream per phase covering the whole batch
@@ -453,19 +453,35 @@ class CondELICCoder:
             scales, means = self._group_params[i](
                 self.variables, hyper, prev, prev_hat
             )
-            idx = np.asarray(
+            idx_dev = (
                 self.gaussian.build_indexes(scales)[:, pi, pj]
                 .astype(jnp.uint8)
             )
             if stream is None:
-                sym = np.asarray(
-                    quantize(curr_y, "symbols16", means=means)[:, pi, pj]
-                )
-                out = enc(sym, idx)
+                # Encode: the device chain continues from the DEVICE
+                # quantized symbols (int16 -> f32 is exact, so vals is
+                # bit-identical to the decoder's host-symbol upload); the
+                # D2H fetches + rANS packing either run inline or are
+                # deferred to a worker (submit=True), which lets the next
+                # phase/group's entropy params overlap the transfers.
+                sym_dev = quantize(curr_y, "symbols16", means=means)[
+                    :, pi, pj
+                ]
+
+                def host_job(sym_dev=sym_dev, idx_dev=idx_dev):
+                    return enc(np.asarray(sym_dev), np.asarray(idx_dev))
+
+                if submit:
+                    from tpuvc.coder.parallel import async_pool
+
+                    out = async_pool().submit(host_job)
+                else:
+                    out = host_job()
+                vals = sym_dev.astype(jnp.float32) + means[:, pi, pj]
             else:
-                sym = dec(stream, idx).astype(np.int16)
+                sym = dec(stream, np.asarray(idx_dev)).astype(np.int16)
                 out = stream
-            vals = jnp.asarray(sym).astype(jnp.float32) + means[:, pi, pj]
+                vals = jnp.asarray(sym).astype(jnp.float32) + means[:, pi, pj]
             return vals, out
 
         zeros = jnp.zeros((b, h, w, gsize), jnp.float32)
@@ -537,16 +553,22 @@ class CondELICCoder:
             "outs": (out1, out2, out3),
         }
 
-    def compress_batch(self, inputs, conds, temporal_cond, s, x_pixel=None):
-        """Batched compress with PER-SAMPLE stream lists: device
-        transforms and group params run once at batch B (the decoder
-        replays the same B-shaped graphs — VSequenceBitstream mode=1);
-        each frame gets its own [z, a0, n0, a1, n1, ...] stream list in
-        the single-frame layout, so VFrameBitstream works unchanged.
+    def compress_batch_async(self, inputs, conds, temporal_cond, s,
+                             x_pixel=None):
+        """Batched compress with PER-SAMPLE stream lists and DEFERRED host
+        phases: every device graph (analysis, hyper, the 5-group x 2-phase
+        entropy params, synthesis) is dispatched without blocking on a
+        single D2H fetch; symbol fetches + per-(group, phase) rANS packing
+        run on worker threads. The device chain feeds on device-quantized
+        symbols (bit-identical to the decoder's uploads — int16 -> f32 is
+        exact), so streams are unchanged; call ``streams_resolve()`` to
+        materialize the per-frame [z, a0, n0, a1, n1, ...] lists
+        (VERDICT r2 task #4: encode-side transfer hiding).
 
-        -> {"streams": [per-frame list] * B, "z_shape", "outs"}.
+        -> {"streams_resolve": callable, "z_shape", "outs"}.
         """
         from tpuvc.coder import encode_with_indexes
+        from tpuvc.coder.parallel import async_pool, parallel_map
         from tpuvc.entropy.quant import quantize
 
         y, z = self._analysis(self.variables, *inputs, s, x_pixel)
@@ -554,25 +576,27 @@ class CondELICCoder:
         zc = self.module.N
         med = jnp.asarray(self.z_tables.medians)
         z_sym_dev = quantize(z, "symbols16", means=med)
-        z_sym = np.asarray(z_sym_dev)
-        z_idx = np.broadcast_to(
-            np.arange(zc, dtype=np.int32), z_sym.shape[1:]
-        )
-        from tpuvc.coder.parallel import parallel_map
 
-        z_strs = parallel_map(
-            lambda j: encode_with_indexes(
-                z_sym[j], z_idx, self.z_tables.cdfs,
-                self.z_tables.cdf_lengths, self.z_tables.offsets,
-            ),
-            range(b),
-        )
+        def z_job():
+            z_sym = np.asarray(z_sym_dev)
+            z_idx = np.broadcast_to(
+                np.arange(zc, dtype=np.int32), z_sym.shape[1:]
+            )
+            return parallel_map(
+                lambda j: encode_with_indexes(
+                    z_sym[j], z_idx, self.z_tables.cdfs,
+                    self.z_tables.cdf_lengths, self.z_tables.offsets,
+                ),
+                range(b),
+            )
+
+        z_fut = async_pool().submit(z_job)
         z_hat = z_sym_dev.astype(jnp.float32) + med
         if self.shard is not None:
             z_hat = self.shard(z_hat)
         hyper = self._hyper(self.variables, z_hat, temporal_cond, s)
 
-        per_frame = [[zs] for zs in z_strs]
+        group_futs = []
         groups_hat = []
         start = 0
         for i, g in enumerate(self.module.groups):
@@ -583,21 +607,45 @@ class CondELICCoder:
                 if i > 0
                 else jnp.zeros(hyper.shape[:3] + (0,), jnp.float32)
             )
-            g_hat, (a_strs, n_strs) = self._code_group(
-                i, curr_y, hyper, prev, per_sample=True
+            g_hat, (a_fut, n_fut) = self._code_group(
+                i, curr_y, hyper, prev, per_sample=True, submit=True
             )
             groups_hat.append(g_hat)
-            for j in range(b):
-                per_frame[j].extend([a_strs[j], n_strs[j]])
+            group_futs.append((a_fut, n_fut))
         y_hat = jnp.concatenate(groups_hat, axis=-1)
         if self.shard is not None:
             y_hat = self.shard(y_hat)
         out1, out2, out3 = self._synthesis(self.variables, y_hat, *conds, s)
+
+        def streams_resolve():
+            per_frame = [[zs] for zs in z_fut.result()]
+            for a_fut, n_fut in group_futs:
+                a_strs, n_strs = a_fut.result(), n_fut.result()
+                for j in range(b):
+                    per_frame[j].extend([a_strs[j], n_strs[j]])
+            return per_frame
+
         return {
-            "streams": per_frame,
+            "streams_resolve": streams_resolve,
             "z_shape": tuple(z.shape[1:3]),
             "outs": (out1, out2, out3),
         }
+
+    def compress_batch(self, inputs, conds, temporal_cond, s, x_pixel=None):
+        """Batched compress with PER-SAMPLE stream lists: device
+        transforms and group params run once at batch B (the decoder
+        replays the same B-shaped graphs — VSequenceBitstream mode=1);
+        each frame gets its own [z, a0, n0, a1, n1, ...] stream list in
+        the single-frame layout, so VFrameBitstream works unchanged.
+        Blocking variant of compress_batch_async.
+
+        -> {"streams": [per-frame list] * B, "z_shape", "outs"}.
+        """
+        out = self.compress_batch_async(
+            inputs, conds, temporal_cond, s, x_pixel
+        )
+        out["streams"] = out.pop("streams_resolve")()
+        return out
 
     def decompress_batch(self, per_frame_streams, z_shape, conds,
                          temporal_cond, s):

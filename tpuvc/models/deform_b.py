@@ -278,11 +278,12 @@ class DeformBCoder:
         x_hat = self._recon(self.variables, *x_full)
         return bits, x_hat
 
-    def encode_level_batch(self, xref1, xref2, xcur, s):
-        """Batched real coding of one hierarchy level (VSequenceBitstream
-        mode=1): both conditional bottlenecks run at batch B with
-        per-frame streams; reconstruction comes from the compress-side
-        quantized latents (decoder-identical)."""
+    def encode_level_batch_async(self, xref1, xref2, xcur, s):
+        """Batched real coding of one hierarchy level with deferred host
+        phases: both conditional bottlenecks dispatch their full device
+        chains immediately (CondELICCoder.compress_batch_async) and the
+        symbol fetches + rANS packing overlap them on worker threads.
+        Returns (resolve -> [VFrameBitstream]*B, x_hat)."""
         from tpuvc.coder.container import VFrameBitstream
 
         if self.shard is not None:
@@ -294,29 +295,46 @@ class DeformBCoder:
         inputs = tuple(
             jnp.concatenate([c, f], axis=-1) for c, f in zip(cond, fcur)
         )
-        off = self.offset_coder.compress_batch(inputs, cond, offset_temp, s)
+        off = self.offset_coder.compress_batch_async(
+            inputs, cond, offset_temp, s
+        )
         x_comp = self._fuse(self.variables, off["outs"], fref1, fref2)
         res_temp = self._res_cond(self.variables, x_comp)
         res_inputs = tuple(
             jnp.concatenate([f, xc], axis=-1) for f, xc in zip(fcur, x_comp)
         )
-        res = self.res_coder.compress_batch(
+        res = self.res_coder.compress_batch_async(
             res_inputs, x_comp, res_temp, s, x_pixel=xcur
         )
-        bits = [
-            VFrameBitstream(
-                s_milli=int(round(float(s) * 1000)),
-                down_ratio=1,
-                scale1_centi=0,
-                scale2_centi=0,
-                z_shape=off["z_shape"],
-                streams=list(off["streams"][b]) + list(res["streams"][b]),
-            )
-            for b in range(xcur.shape[0])
-        ]
         x_full = tuple(xc + r for xc, r in zip(x_comp, res["outs"]))
         x_hat = self._recon(self.variables, *x_full)
-        return bits, x_hat
+        batch = xcur.shape[0]
+
+        def resolve():
+            off_streams = off["streams_resolve"]()
+            res_streams = res["streams_resolve"]()
+            return [
+                VFrameBitstream(
+                    s_milli=int(round(float(s) * 1000)),
+                    down_ratio=1,
+                    scale1_centi=0,
+                    scale2_centi=0,
+                    z_shape=off["z_shape"],
+                    streams=list(off_streams[b]) + list(res_streams[b]),
+                )
+                for b in range(batch)
+            ]
+
+        return resolve, x_hat
+
+    def encode_level_batch(self, xref1, xref2, xcur, s):
+        """Batched real coding of one hierarchy level (VSequenceBitstream
+        mode=1): both conditional bottlenecks run at batch B with
+        per-frame streams; reconstruction comes from the compress-side
+        quantized latents (decoder-identical). Blocking variant of
+        encode_level_batch_async."""
+        resolve, x_hat = self.encode_level_batch_async(xref1, xref2, xcur, s)
+        return resolve(), x_hat
 
     def set_shard(self, shard):
         """Enable mesh-sharded level-batched coding: ``shard`` (from

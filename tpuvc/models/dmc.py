@@ -40,6 +40,18 @@ TPU notes: the four parts are true sequential data dependencies (as in the
 reference) but each part step is dense conv + elementwise math over the
 full latent — MXU work, no gathers; the real coder squeezes each part to a
 compact (h/2, w/2, C) tensor so host transfers stay small.
+
+PARITY CAVEAT (for RD validation day): the reference repo ships ONLY
+OJSP2025/video_model.py — the DCVC-FM base modules it imports
+(common_model.CompressionModel, video_net, block_mc, stream_helper;
+video_model.py:12-17) are absent, so the four-part partition, the prior
+fusion topology, and the Laplace bit estimators here are an INFORMED
+RECONSTRUCTION of DCVC-FM's published design (forward_four_part_prior et
+al.), not a checkable line-level parity target. The parts the reference
+DOES contain — ratio search + hysteresis, MV rescale, DPB dict, the
+forward_one_frame orchestration — are built to file:line parity (cited at
+each method). Weights from DCVC-FM checkpoints are NOT importable here;
+RD claims for this family must come from training, not import.
 """
 
 from __future__ import annotations

@@ -301,42 +301,57 @@ class GainedHyperpriorCoder:
             *self._analyze_quantized(self.variables, x, n, l), n, l
         )
 
-    def compress_batch_from(self, scaled_y, z_sym_dev, z_hat, n: int,
-                            l: float = 1.0) -> dict:
-        """Host half of compress_batch from a precomputed analysis triple."""
-        from tpuvc.coder import encode_with_indexes
+    def compress_batch_async(self, scaled_y, z_sym_dev, z_hat, n: int,
+                             l: float = 1.0) -> dict:
+        """Device phase dispatched now; symbol fetches + per-sample rANS
+        packing deferred to a worker thread (same contract as
+        HyperpriorCoder.compress_batch_async)."""
         from tpuvc.entropy.quant import quantize
 
-        z_sym = np.asarray(z_sym_dev)
-        z_idx = np.broadcast_to(
-            np.arange(z_sym.shape[-1], dtype=np.int32), z_sym.shape[1:]
-        )
         if self.shard is not None:
             z_hat = self.shard(z_hat)
         means, y_idx_dev = self._params_idx(self.variables, z_hat, n, l)
-        y_idx = np.asarray(y_idx_dev)
         y_sym_dev = quantize(scaled_y, "symbols16", means=means)
-        y_sym = np.asarray(y_sym_dev)
 
-        def pack(b):
-            z_str = encode_with_indexes(
-                z_sym[b], z_idx, self.z_tables.cdfs,
-                self.z_tables.cdf_lengths, self.z_tables.offsets,
+        def host_phase():
+            from tpuvc.coder import encode_with_indexes
+            from tpuvc.coder.parallel import parallel_map
+
+            z_sym = np.asarray(z_sym_dev)
+            z_idx = np.broadcast_to(
+                np.arange(z_sym.shape[-1], dtype=np.int32), z_sym.shape[1:]
             )
-            y_str = encode_with_indexes(
-                y_sym[b], y_idx[b], self.y_tables.cdfs,
-                self.y_tables.cdf_lengths, self.y_tables.offsets,
-            )
-            return (y_str, z_str)
+            y_idx = np.asarray(y_idx_dev)
+            y_sym = np.asarray(y_sym_dev)
 
-        from tpuvc.coder.parallel import parallel_map
+            def pack(b):
+                z_str = encode_with_indexes(
+                    z_sym[b], z_idx, self.z_tables.cdfs,
+                    self.z_tables.cdf_lengths, self.z_tables.offsets,
+                )
+                y_str = encode_with_indexes(
+                    y_sym[b], y_idx[b], self.y_tables.cdfs,
+                    self.y_tables.cdf_lengths, self.y_tables.offsets,
+                )
+                return (y_str, z_str)
 
-        strings = parallel_map(pack, range(z_sym.shape[0]))
+            return parallel_map(pack, range(z_sym.shape[0]))
+
+        from tpuvc.coder.parallel import async_pool
+
         return {
-            "strings": strings,
-            "shape": tuple(z_sym.shape[1:3]),
+            "strings_future": async_pool().submit(host_phase),
+            "shape": tuple(z_sym_dev.shape[1:3]),
             "y_hat": y_sym_dev.astype(jnp.float32) + means,
         }
+
+    def compress_batch_from(self, scaled_y, z_sym_dev, z_hat, n: int,
+                            l: float = 1.0) -> dict:
+        """Host half of compress_batch from a precomputed analysis triple;
+        blocking variant of compress_batch_async."""
+        out = self.compress_batch_async(scaled_y, z_sym_dev, z_hat, n, l)
+        out["strings"] = out.pop("strings_future").result()
+        return out
 
     def decompress_batch(self, strings: list, shape, n: int, l: float = 1.0):
         """Inverse of compress_batch; returns the quantized gained latent
@@ -523,41 +538,58 @@ class FlexRateCoder:
             mv_before + flow_hat[..., :2], mv_after + flow_hat[..., 2:4],
         )
 
-    def encode_level_batch(self, x_before, x_current, x_after, n: int,
-                           l: float = 1.0):
-        """Batched real coding of one hierarchy level (see
-        LHBDCCoder.encode_level_batch)."""
+    def encode_level_batch_async(self, x_before, x_current, x_after,
+                                 n: int, l: float = 1.0):
+        """Batched real coding of one hierarchy level with deferred host
+        phases (see LHBDCCoder.encode_level_batch_async). Returns
+        (resolve -> [BFrameBitstream]*B, x_hat)."""
         from tpuvc.coder.container import BFrameBitstream
 
         if self.shard is not None:
             x_before, x_current, x_after = self.shard(
                 (x_before, x_current, x_after)
             )
-        mv = self.flow_coder.compress_batch_from(
+        mv = self.flow_coder.compress_batch_async(
             *self._flow_front(
                 self.variables, x_before, x_after, x_current, n, l
             ),
             n, l,
         )
         x_comp = self._predict_batch(x_before, x_after, mv["y_hat"], n, l)
-        res = self.res_coder.compress_batch_from(
+        res = self.res_coder.compress_batch_async(
             *self._res_front(self.variables, x_current, x_comp, n, l), n, l
         )
         x_hat = x_comp + self.res_coder.synthesize(res["y_hat"], n, l)
         rate_id = n * 100000 + int(round(l * 1000))
-        bits = [
-            BFrameBitstream(
-                rate_id=rate_id,
-                mv_shape=tuple(mv["shape"]),
-                res_shape=tuple(res["shape"]),
-                mv_y=mv["strings"][b][0],
-                mv_z=mv["strings"][b][1],
-                res_y=res["strings"][b][0],
-                res_z=res["strings"][b][1],
-            )
-            for b in range(x_current.shape[0])
-        ]
-        return bits, x_hat
+        batch = x_current.shape[0]
+
+        def resolve():
+            mv_strings = mv["strings_future"].result()
+            res_strings = res["strings_future"].result()
+            return [
+                BFrameBitstream(
+                    rate_id=rate_id,
+                    mv_shape=tuple(mv["shape"]),
+                    res_shape=tuple(res["shape"]),
+                    mv_y=mv_strings[b][0],
+                    mv_z=mv_strings[b][1],
+                    res_y=res_strings[b][0],
+                    res_z=res_strings[b][1],
+                )
+                for b in range(batch)
+            ]
+
+        return resolve, x_hat
+
+    def encode_level_batch(self, x_before, x_current, x_after, n: int,
+                           l: float = 1.0):
+        """Batched real coding of one hierarchy level (see
+        LHBDCCoder.encode_level_batch); blocking variant of
+        encode_level_batch_async."""
+        resolve, x_hat = self.encode_level_batch_async(
+            x_before, x_current, x_after, n, l
+        )
+        return resolve(), x_hat
 
     def decode_level_batch(self, x_before, x_after, bitstreams):
         if self.shard is not None:

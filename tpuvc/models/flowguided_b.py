@@ -407,11 +407,11 @@ class FlowGuidedBCoder:
         x_hat = self._recon(self.variables, *x_full)
         return bits, x_hat
 
-    def encode_level_batch(self, xref1, xref2, xcur, s, scale1, scale2,
-                           down_ratio: int = 1):
-        """Batched real coding of one hierarchy level (VSequenceBitstream
-        mode=1). Frames of one level share temporal geometry, so one
-        (scale1, scale2, down_ratio) triple serves the whole batch."""
+    def encode_level_batch_async(self, xref1, xref2, xcur, s, scale1,
+                                 scale2, down_ratio: int = 1):
+        """Batched real coding of one hierarchy level with deferred host
+        phases (see DeformBCoder.encode_level_batch_async). Returns
+        (resolve -> [VFrameBitstream]*B, x_hat)."""
         from tpuvc.coder.container import VFrameBitstream
 
         if self.shard is not None:
@@ -423,28 +423,49 @@ class FlowGuidedBCoder:
         inputs = tuple(
             jnp.concatenate([c, f], axis=-1) for c, f in zip(cond, fcur)
         )
-        off = self.offset_coder.compress_batch(inputs, cond, offset_temp, s)
+        off = self.offset_coder.compress_batch_async(
+            inputs, cond, offset_temp, s
+        )
         x_comp = self._fuse(self.variables, off["outs"], fref1, fref2, flows)
         res_temp = self._res_cond(self.variables, x_comp)
         res_inputs = tuple(
             jnp.concatenate([f, xc], axis=-1) for f, xc in zip(fcur, x_comp)
         )
-        res = self.res_coder.compress_batch(res_inputs, x_comp, res_temp, s)
+        res = self.res_coder.compress_batch_async(
+            res_inputs, x_comp, res_temp, s
+        )
         assert off["z_shape"] == res["z_shape"]
-        bits = [
-            VFrameBitstream(
-                s_milli=int(round(float(s) * 1000)),
-                down_ratio=down_ratio,
-                scale1_centi=int(round(float(scale1) * 100)),
-                scale2_centi=int(round(float(scale2) * 100)),
-                z_shape=off["z_shape"],
-                streams=list(off["streams"][b]) + list(res["streams"][b]),
-            )
-            for b in range(xcur.shape[0])
-        ]
         x_full = tuple(xc + r for xc, r in zip(x_comp, res["outs"]))
         x_hat = self._recon(self.variables, *x_full)
-        return bits, x_hat
+        batch = xcur.shape[0]
+
+        def resolve():
+            off_streams = off["streams_resolve"]()
+            res_streams = res["streams_resolve"]()
+            return [
+                VFrameBitstream(
+                    s_milli=int(round(float(s) * 1000)),
+                    down_ratio=down_ratio,
+                    scale1_centi=int(round(float(scale1) * 100)),
+                    scale2_centi=int(round(float(scale2) * 100)),
+                    z_shape=off["z_shape"],
+                    streams=list(off_streams[b]) + list(res_streams[b]),
+                )
+                for b in range(batch)
+            ]
+
+        return resolve, x_hat
+
+    def encode_level_batch(self, xref1, xref2, xcur, s, scale1, scale2,
+                           down_ratio: int = 1):
+        """Batched real coding of one hierarchy level (VSequenceBitstream
+        mode=1). Frames of one level share temporal geometry, so one
+        (scale1, scale2, down_ratio) triple serves the whole batch.
+        Blocking variant of encode_level_batch_async."""
+        resolve, x_hat = self.encode_level_batch_async(
+            xref1, xref2, xcur, s, scale1, scale2, down_ratio
+        )
+        return resolve(), x_hat
 
     def set_shard(self, shard):
         """Enable mesh-sharded level-batched coding: ``shard`` (from

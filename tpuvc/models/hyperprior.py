@@ -253,44 +253,65 @@ class HyperpriorCoder:
             *self._analyze_quantized(self.variables, x)
         )
 
-    def compress_batch_from(self, y, z_sym_dev, z_hat) -> dict:
-        """Host half of compress_batch from a precomputed analysis triple
-        (see compress_from)."""
-        from tpuvc.coder import encode_with_indexes
+    def compress_batch_async(self, y, z_sym_dev, z_hat) -> dict:
+        """Device phase of compress_batch dispatched NOW; the host phase
+        (int16/uint8 symbol fetches + per-sample rANS packing) runs on a
+        worker thread.
 
-        z_sym = np.asarray(z_sym_dev)
-        z_idx = np.broadcast_to(
-            np.arange(z_sym.shape[-1], dtype=np.int32), z_sym.shape[1:]
-        )
+        The returned ``y_hat`` is a device value available to the caller's
+        next dispatches immediately, so the prediction/residual graphs of
+        the SAME level and the flows of the NEXT level overlap the D2H
+        symbol transfers — which dominate encode time through slow host
+        links (PERF.md: res codec ~500 ms/chunk, mostly fetch). Pattern
+        proven by PFrameDMCCoder.encode_async. Returns {"strings_future",
+        "shape", "y_hat"}; resolve strings_future before building
+        containers."""
         if self.shard is not None:
             # Same explicit placement as decompress_batch: _params_idx must
             # compile the identical program enc and dec (bit-identity), so
             # don't rely on GSPMD propagation from the analysis graph.
             z_hat = self.shard(z_hat)
         means, y_idx_dev = self._params_idx(self.variables, z_hat)
-        y_idx = np.asarray(y_idx_dev)
         y_sym_dev = quantize(y, "symbols16", means=means)
-        y_sym = np.asarray(y_sym_dev)
 
-        def pack(b):
-            z_str = encode_with_indexes(
-                z_sym[b], z_idx, self.z_tables.cdfs,
-                self.z_tables.cdf_lengths, self.z_tables.offsets,
+        def host_phase():
+            from tpuvc.coder import encode_with_indexes
+            from tpuvc.coder.parallel import parallel_map
+
+            z_sym = np.asarray(z_sym_dev)
+            z_idx = np.broadcast_to(
+                np.arange(z_sym.shape[-1], dtype=np.int32), z_sym.shape[1:]
             )
-            y_str = encode_with_indexes(
-                y_sym[b], y_idx[b], self.y_tables.cdfs,
-                self.y_tables.cdf_lengths, self.y_tables.offsets,
-            )
-            return (y_str, z_str)
+            y_idx = np.asarray(y_idx_dev)
+            y_sym = np.asarray(y_sym_dev)
 
-        from tpuvc.coder.parallel import parallel_map
+            def pack(b):
+                z_str = encode_with_indexes(
+                    z_sym[b], z_idx, self.z_tables.cdfs,
+                    self.z_tables.cdf_lengths, self.z_tables.offsets,
+                )
+                y_str = encode_with_indexes(
+                    y_sym[b], y_idx[b], self.y_tables.cdfs,
+                    self.y_tables.cdf_lengths, self.y_tables.offsets,
+                )
+                return (y_str, z_str)
 
-        strings = parallel_map(pack, range(z_sym.shape[0]))
+            return parallel_map(pack, range(z_sym.shape[0]))
+
+        from tpuvc.coder.parallel import async_pool
+
         return {
-            "strings": strings,
-            "shape": tuple(z_sym.shape[1:3]),
+            "strings_future": async_pool().submit(host_phase),
+            "shape": tuple(z_sym_dev.shape[1:3]),
             "y_hat": y_sym_dev.astype(jnp.float32) + means,
         }
+
+    def compress_batch_from(self, y, z_sym_dev, z_hat) -> dict:
+        """Host half of compress_batch from a precomputed analysis triple
+        (see compress_from); blocking variant of compress_batch_async."""
+        out = self.compress_batch_async(y, z_sym_dev, z_hat)
+        out["strings"] = out.pop("strings_future").result()
+        return out
 
     def decompress_batch(self, strings: list, shape) -> jnp.ndarray:
         """Batched decompress of per-sample (y_str, z_str) pairs: host rANS

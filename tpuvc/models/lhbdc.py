@@ -317,12 +317,17 @@ class LHBDCCoder:
             flow_ca_hat + flow_ba, size,
         )
 
-    def encode_level_batch(self, x_before, x_current, x_after,
-                           rate_id: int = 0):
-        """Batched real-bitstream coding of one hierarchy level: B
-        independent frames share every device forward; host rANS packs one
-        stream set per frame. Returns ([BFrameBitstream] * B, x_hat (B,...))
-        with x_hat the decoder-identical reconstructions."""
+    def encode_level_batch_async(self, x_before, x_current, x_after,
+                                 rate_id: int = 0):
+        """Batched real-bitstream coding of one hierarchy level with the
+        host phases (symbol fetch + rANS packing) overlapped: every device
+        graph is dispatched before any stream fetch blocks, and the
+        returned ``resolve()`` callable materializes the per-frame
+        BFrameBitstreams when the worker threads finish. The caller can
+        dispatch the NEXT level's device work (which needs only x_hat)
+        while this level's symbols stream back — encode's transfer time
+        hides behind compute (VERDICT r2 task #4). Returns
+        (resolve, x_hat (B, ...)) with x_hat decoder-identical."""
         from tpuvc.coder.container import BFrameBitstream
 
         if self.shard is not None:
@@ -332,29 +337,47 @@ class LHBDCCoder:
         flow_ba, flow_ab = self._motion_priors(
             self.variables, x_before, x_after
         )
-        mv = self.mv_coder.compress_batch_from(
+        mv = self.mv_coder.compress_batch_async(
             *self._mv_front(
                 self.variables, x_current, x_before, x_after, flow_ba, flow_ab
             )
         )
         x_pred = self._predict_batch(x_before, x_after, mv["y_hat"])
-        res = self.res_coder.compress_batch_from(
+        res = self.res_coder.compress_batch_async(
             *self._res_front(self.variables, x_current, x_pred)
         )
         x_hat = x_pred + self.res_coder.synthesize(res["y_hat"])
-        bits = [
-            BFrameBitstream(
-                rate_id=rate_id,
-                mv_shape=tuple(mv["shape"]),
-                res_shape=tuple(res["shape"]),
-                mv_y=mv["strings"][b][0],
-                mv_z=mv["strings"][b][1],
-                res_y=res["strings"][b][0],
-                res_z=res["strings"][b][1],
-            )
-            for b in range(x_current.shape[0])
-        ]
-        return bits, x_hat
+        batch = x_current.shape[0]
+
+        def resolve():
+            mv_strings = mv["strings_future"].result()
+            res_strings = res["strings_future"].result()
+            return [
+                BFrameBitstream(
+                    rate_id=rate_id,
+                    mv_shape=tuple(mv["shape"]),
+                    res_shape=tuple(res["shape"]),
+                    mv_y=mv_strings[b][0],
+                    mv_z=mv_strings[b][1],
+                    res_y=res_strings[b][0],
+                    res_z=res_strings[b][1],
+                )
+                for b in range(batch)
+            ]
+
+        return resolve, x_hat
+
+    def encode_level_batch(self, x_before, x_current, x_after,
+                           rate_id: int = 0):
+        """Batched real-bitstream coding of one hierarchy level: B
+        independent frames share every device forward; host rANS packs one
+        stream set per frame. Returns ([BFrameBitstream] * B, x_hat (B,...))
+        with x_hat the decoder-identical reconstructions. Blocking variant
+        of encode_level_batch_async."""
+        resolve, x_hat = self.encode_level_batch_async(
+            x_before, x_current, x_after, rate_id
+        )
+        return resolve(), x_hat
 
     def decode_level_batch(self, x_before, x_after, bitstreams):
         """Batched decode of one hierarchy level's frames (inverse of

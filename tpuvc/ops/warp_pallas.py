@@ -27,7 +27,8 @@ Exactness domain (windows are centered dynamically, so *uniform* motion of
 any magnitude is exact; only local spread matters):
   - vertical: sampled rows of one 64-row band fit in the ROWS_WINDOW-row
     DMA window (<=118 px row spread per band) and <=LOCAL_H-2 px row spread
-    per 8-row row-group;
+    per (8-row x 128-lane) patch — walk ranges are per patch, so global
+    horizontal flow variation costs nothing;
   - horizontal: <=126 px dx spread per band (the 384-px local window holds
     the 128-px output tile plus 128 px of quantized-offset slack).
 Beyond the domain, sampling clamps to the window edge; out-of-frame
@@ -165,19 +166,25 @@ def _warp_band_kernel(
     xloc_s[:] = jnp.clip(x0i - start, 0, lw - 2)
     rlo_s[1] = qdx
 
-    # Per-row-group vertical window start + loop bound, in DIAGONAL
-    # coordinates: output row s of a group reads sublane s of an 8-row
-    # window slab, so the per-group j loop covers only the flow's own
-    # vertical variation (~2-4 rows), not the group's 8-row extent.
+    # Per-(row-group, lane-tile) vertical window start + loop bound, in
+    # DIAGONAL coordinates: output row s of a group reads sublane s of an
+    # 8-row window slab, so each walk covers only the flow's own vertical
+    # variation (~2-4 rows). Ranges are per 8 x 128 output PATCH, not per
+    # full band row: real flow fields vary by tens of px across a 1080p
+    # row, and a row-wide union would charge every tile for that global
+    # variation (the deform kernel learned the same lesson — see
+    # tpuvc.ops.deform_pallas).
     s_iota = jax.lax.broadcasted_iota(jnp.int32, (TILE_S, w), 0)
     for g in range(n_s):
         rr_g = rr[g * TILE_S : (g + 1) * TILE_S, :] - s_iota
-        ry_g = jnp.clip(jnp.min(rr_g), 0, rw - TILE_S - 2)
-        rys_s[g] = ry_g
-        jhi_s[g] = jnp.minimum(jnp.max(rr_g) - ry_g + 2, lh)
-        rloc_s[g * TILE_S : (g + 1) * TILE_S, :] = jnp.clip(
-            rr_g - ry_g, 0, lh - 2
-        )
+        rloc_s[g * TILE_S : (g + 1) * TILE_S, :] = rr_g
+        for tl in range(n_l):
+            blk = rr_g[:, tl * TILE_L : (tl + 1) * TILE_L]
+            ry_gt = jnp.clip(jnp.min(blk), 0, rw - TILE_S - 2)
+            rys_s[g * n_l + tl] = ry_gt
+            jhi_s[g * n_l + tl] = jnp.minimum(
+                jnp.max(blk) - ry_gt + 2, lh
+            )
 
     # --- window DMA: one contiguous (rw, W*C) block ---
     copy = pltpu.make_async_copy(
@@ -186,9 +193,17 @@ def _warp_band_kernel(
     copy.start()
     copy.wait()
 
-    for c in range(ch):
+    qdx = rlo_s[1]
+
+    def tile_rx(tl):
+        return pl.multiple_of(
+            jnp.clip(tl * TILE_L + qdx, 0, w - lw), TILE_L
+        )
+
+    def chan_body(c, _):
         # --- de-interleave channel c: win_c[r, x] = win_i[r, x*ch + c] ---
-        # One MXU one-hot matmul per lane tile (static permutation).
+        # One MXU one-hot matmul per lane tile (iota-compare permutation,
+        # valid for traced c).
         P = _deinterleave_matrix(ch, c)
         for tl in range(n_l):
             slab = win_i[:, ch * tl * TILE_L : ch * (tl + 1) * TILE_L]
@@ -197,75 +212,61 @@ def _warp_band_kernel(
                 precision=jax.lax.Precision.HIGHEST,
             )
 
-        # --- warp channel c per row-group ---
+        # --- warp channel c per (row-group, lane-tile) ---
         # out = sum_j [(rloc==j)(1-fy) + (rloc==j-1)fy] * C_j, with C_j the
-        # horizontal interpolation of window row j. The j loop runs only to
-        # the group's actual vertical spread (~3-6 for smooth flows).
-        qdx = rlo_s[1]
+        # horizontal interpolation of window row j. Each tile's j loop runs
+        # only to the patch's actual vertical spread.
         for g in range(n_s):
             rsl = pl.ds(g * TILE_S, TILE_S)
-            ry = rys_s[g]
-            rloc = rloc_s[rsl, :]
-            xloc = xloc_s[rsl, :]
-            fx_g = fx_s[rsl, :]
-            fy_g = fy_s[rsl, :]
+            for tl in range(n_l):
+                lsl = slice(tl * TILE_L, (tl + 1) * TILE_L)
+                ry = rys_s[g * n_l + tl]
+                # rebase the window-relative diagonal coords onto this
+                # tile's walk; rows beyond the LOCAL_H cap truncate to the
+                # walk edge (per-patch exactness domain).
+                rloc_t = jnp.clip(rloc_s[rsl, lsl] - ry, 0, lh - 2)
+                xloc_t = xloc_s[rsl, lsl]
+                fx_t = fx_s[rsl, lsl]
+                fy_t = fy_s[rsl, lsl]
+                rx = tile_rx(tl)
 
-            def tile_rx(tl):
-                return pl.multiple_of(
-                    jnp.clip(tl * TILE_L + qdx, 0, w - lw), TILE_L
-                )
-
-            # Diagonal slab per tile: output row s reads window row ry+j+s
-            # (its own sublane). Multi-row loads need 8-aligned dynamic
-            # sublane starts, so slabs are built from single-row loads ONCE
-            # and then carried through the j loop with a one-row shift —
-            # one new row load per tile per iteration.
-            init_slabs = tuple(
-                jnp.concatenate(
+                # Diagonal slab: output row s reads window row ry+j+s (its
+                # own sublane). Multi-row loads need 8-aligned dynamic
+                # sublane starts, so the slab is built from single-row
+                # loads ONCE and carried through the j loop with a one-row
+                # shift — one new row load per iteration.
+                init_slab = jnp.concatenate(
                     [
-                        win_c[pl.ds(ry + s, 1), pl.ds(tile_rx(tl), lw)]
+                        win_c[pl.ds(ry + s, 1), pl.ds(rx, lw)]
                         for s in range(TILE_S)
                     ],
                     axis=0,
                 )
-                for tl in range(n_l)
-            )
 
-            def j_body(j, carry, ry=ry, rloc=rloc, xloc=xloc, fx_g=fx_g):
-                a0, a1 = carry[0], carry[1]
-                slabs = carry[2]
-                c_parts = []
-                new_slabs = []
-                for tl in range(n_l):
-                    lsl = slice(tl * TILE_L, (tl + 1) * TILE_L)
-                    slab = slabs[tl]
-                    xl = xloc[:, lsl]
-                    g0 = _lane_gather(slab, xl)
-                    g1 = _lane_gather(slab, xl + 1)
-                    fx_t = fx_g[:, lsl]
-                    c_parts.append((1.0 - fx_t) * g0 + fx_t * g1)
+                def j_body(j, carry, ry=ry, rx=rx, rloc_t=rloc_t,
+                           xloc_t=xloc_t, fx_t=fx_t):
+                    a0, a1, slab = carry
+                    g0 = _lane_gather(slab, xloc_t)
+                    g1 = _lane_gather(slab, xloc_t + 1)
+                    c_row = (1.0 - fx_t) * g0 + fx_t * g1
+                    m0 = (rloc_t == j).astype(jnp.float32)
+                    m1 = (rloc_t == j - 1).astype(jnp.float32)
                     row_new = win_c[
-                        pl.ds(ry + j + TILE_S, 1), pl.ds(tile_rx(tl), lw)
+                        pl.ds(ry + j + TILE_S, 1), pl.ds(rx, lw)
                     ]
-                    new_slabs.append(
-                        jnp.concatenate([slab[1:], row_new], axis=0)
-                    )
-                c_row = jnp.concatenate(c_parts, axis=1)
-                m0 = (rloc == j).astype(jnp.float32)
-                m1 = (rloc == j - 1).astype(jnp.float32)
-                return (
-                    a0 + m0 * c_row,
-                    a1 + m1 * c_row,
-                    tuple(new_slabs),
-                )
+                    slab = jnp.concatenate([slab[1:], row_new], axis=0)
+                    return (a0 + m0 * c_row, a1 + m1 * c_row, slab)
 
-            zero = jnp.zeros((TILE_S, w), jnp.float32)
-            a0, a1, _ = jax.lax.fori_loop(
-                0, jhi_s[g], j_body, (zero, zero, init_slabs)
-            )
-            res_s[pl.ds(c * BAND_ROWS + g * TILE_S, TILE_S), :] = (
-                (1.0 - fy_g) * a0 + fy_g * a1
-            )
+                zero = jnp.zeros((TILE_S, TILE_L), jnp.float32)
+                a0, a1, _ = jax.lax.fori_loop(
+                    0, jhi_s[g * n_l + tl], j_body, (zero, zero, init_slab)
+                )
+                res_s[
+                    pl.ds(c * BAND_ROWS + g * TILE_S, TILE_S), lsl
+                ] = (1.0 - fy_t) * a0 + fy_t * a1
+        return 0
+
+    jax.lax.fori_loop(0, ch, chan_body, 0)
 
     # --- re-interleave: out[y, x*ch + c] = res_s[c*BAND + y, x] ---
     # Output tile T's lanes map to channel c = L % ch, column x = L // ch;
@@ -333,8 +334,12 @@ def _warp_pallas_nhwc(img3, dx, dy, ch: int, interpret: bool = False):
             pltpu.VMEM((BAND_ROWS, W), jnp.int32),  # xloc
             pltpu.VMEM((BAND_ROWS, W), jnp.float32),  # fx
             pltpu.VMEM((BAND_ROWS, W), jnp.float32),  # fy
-            pltpu.SMEM((BAND_ROWS // TILE_S,), jnp.int32),  # rys
-            pltpu.SMEM((BAND_ROWS // TILE_S,), jnp.int32),  # jhi
+            pltpu.SMEM(
+                (BAND_ROWS // TILE_S * (W // TILE_L),), jnp.int32
+            ),  # rys (per group x lane tile)
+            pltpu.SMEM(
+                (BAND_ROWS // TILE_S * (W // TILE_L),), jnp.int32
+            ),  # jhi (per group x lane tile)
             pltpu.SMEM((2,), jnp.int32),  # r_lo, qdx
             pltpu.SemaphoreType.DMA,
         ],

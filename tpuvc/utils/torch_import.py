@@ -5,9 +5,11 @@ lets them bring those weights to the TPU framework. It maps the reference's
 state-dict key space onto tpuvc's flax parameter tree and converts tensor
 layouts (OIHW conv kernels -> HWIO; everything NHWC downstream).
 
-Supported today: the LHBDC B-frame model (M1-M6) — the reference's
-checkpoint format is the whole-model ``{"state_dict": sd}`` written by
-/root/reference/LHBDC/train.py:205-215 with module names from
+Supported: all five checkpoint families (see ``_IMPORTERS``): LHBDC
+(whole-model ``{"state_dict": sd}``, /root/reference/LHBDC/train.py:205-215),
+Flex-Rate (per-child dict, Flex-Rate…/test/utils.py save format), ELIC
+intra, DeformB (v3) and FlowGuidedB (v4) raw ``model.state_dict()``
+(ICIP2023/24). The LHBDC mapping covers module names from
 LHBDC/model/m.py:20-29 (FlowNet, mv_compressor, residual_compressor,
 masknet), compressai layer internals (conv1/conv2/gdn/skip inside residual
 blocks, subpel_conv/upsample in upsample blocks, _matrices/_biases/_factors/
