@@ -60,8 +60,10 @@ SCALES = [
 
 
 def timed(name, fn, *args, quiet=False):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    # force warm completion through the relay: block_until_ready does NOT
+    # block on the axon backend (PERF.md measurement discipline) — fetch a
+    # scalar instead.
+    float(fn(*args).ravel()[0])
     t0 = time.perf_counter()
     carry = jnp.float32(0.0)
     for _ in range(ITERS):
@@ -99,13 +101,26 @@ def offset_field(rng, H, W, nchan, amp_px, field, ramp_px):
     return jnp.asarray(off)
 
 
+@jax.jit
+def _fwd(x, off, masks, wt):
+    # ONE jit wrapper for every sweep point (shapes are identical across
+    # fields/amps, so the compiled graph is reused; a per-point wrapper
+    # would pay a slow remote graph load inside every timed loop)
+    with mixed_precision():
+        return deform_conv2d(x, off, masks, wt, None, G, K)
+
+
 def run_point(rng, field, amp_frac, ramp_px, quiet=False):
     total = 0.0
     per_scale = []
     for name, H, W, C, Cout, mag in SCALES:
         x = jnp.asarray(rng.random((1, H, W, C), dtype=np.float32))
+        # A real flow pyramid halves magnitude with resolution, so a
+        # global-motion ramp keeps a CONSTANT slope (px offset per px
+        # position) across scales — scale the ramp extent by W.
         off = offset_field(
-            rng, H, W, G * K * K * 2, mag * amp_frac, field, ramp_px
+            rng, H, W, G * K * K * 2, mag * amp_frac, field,
+            ramp_px * W / SCALES[0][2],
         )
         masks = jnp.asarray(
             rng.random((1, H, W, G * K * K), dtype=np.float32)
@@ -114,14 +129,9 @@ def run_point(rng, field, amp_frac, ramp_px, quiet=False):
             rng.standard_normal((K, K, C // G, Cout), np.float32) * 0.05
         )
 
-        @jax.jit
-        def fwd(x, off, masks, wt):
-            with mixed_precision():
-                return deform_conv2d(x, off, masks, wt, None, G, K)
-
         dt = timed(
             f"{name} {H}x{W} C{C}->{Cout} {field} amp={mag * amp_frac:g}px",
-            fwd, x, off, masks, wt, quiet=quiet,
+            _fwd, x, off, masks, wt, quiet=quiet,
         )
         per_scale.append(dt)
         total += dt

@@ -99,11 +99,13 @@ def _deform_band_kernel(
     fy_s,          # (taps*BAND_ROWS, W) f32 scratch (group-major)
     rys_s,         # SMEM (n_s*n_l,): per-(group, tile) union row start
     jhi_s,         # SMEM (n_s*n_l,): per-(group, tile) j-loop bound
-    tjlo_s,        # SMEM (n_s*taps,): per-(group, tap) first active row
-                   # (window-relative; compared against the tile base)
-    tjhi_s,        # SMEM (n_s*taps,): per-(group, tap) last active row + 1
-    kuni_s,        # SMEM (n_s*taps,): uniform-dx shift k, or -1 if the
-                   # tap's window cols are not lane + k over interior tiles
+    tjlo_s,        # SMEM (n_s*taps*n_l,): per-(group, tap, tile) first
+                   # active row (window-relative; rebased per tile)
+    tjhi_s,        # SMEM (n_s*taps*n_l,): per-(group, tap, tile) last
+                   # active row + 1
+    kuni_s,        # SMEM (n_s*taps*n_l,): per-(group, tap, tile)
+                   # uniform-dx shift k, or -1 if that tile's window cols
+                   # are not lane + k
     rlo_s,         # SMEM (2,): window row start, quantized dx
     sem,
 ):
@@ -188,57 +190,69 @@ def _deform_band_kernel(
             rr = rr - s_iota  # diagonal coordinates, window-relative
             rloc_s[sl, :] = rr
             xloc_s[sl, :] = jnp.clip(xloc_s[sl, :] - start, 0, lw - 2)
-            # Active row range of THIS tap (window-relative): hit is
-            # nonzero only for walk step j with base + j in [rl, rl+1], so
-            # the tap body can skip every step outside [min, max+1]. With
-            # trained (low spread) offsets the 9 taps' bases span 3 rows
-            # while each tap covers ~2 — gating on this range skips ~60%
-            # of the gather work even at the zero-spread floor.
-            tjlo_s[g * taps + t] = jnp.min(rr)
-            tjhi_s[g * taps + t] = jnp.max(rr) + 1
-            # Uniform-dx detection over the interior lane tiles: when the
-            # (post-clip) window cols of this (group, tap) strip equal
-            # lane + k for one constant k, the 3-tile lane-gather pair in
-            # the tap body degenerates to a dynamic lane roll by k (see
-            # tap_body). True for every tap at zero offset diversity and
-            # wherever floor(dx) is locally constant (smooth trained flow);
-            # edge tiles always take the general path, so the check only
-            # covers cols [TILE_L, (n_l-1)*TILE_L).
-            if n_l >= 3:
-                isl = slice(TILE_L, (n_l - 1) * TILE_L)
-                d = xloc_s[sl, isl] - icols[:TILE_S, isl] % TILE_L
-                dmin = jnp.min(d)
-                uni = (dmin == jnp.max(d)) & (dmin >= 0) & (
-                    dmin <= lw - TILE_L - 1
-                )
-                kuni_s[g * taps + t] = jnp.where(uni, dmin, -1)
-            else:
-                kuni_s[g * taps + t] = -1
         return 0
 
     jax.lax.fori_loop(0, taps, diag_tap, 0)
 
-    # PER-(group, lane-tile) union walk ranges. The walk cost is
-    # O(union vertical range); computing the union over the full row
-    # (as the round-2 kernel did) charges every tile for the offsets of
-    # every other tile, so smooth horizontal flow variation (tens of px
-    # across a 1080p row) inflated every tile's walk. Per-tile unions
-    # bound the cost by the LOCAL (8 x 128 patch) variation instead —
-    # for conv-predicted (smooth) offsets that is the tap-base span plus
-    # a residual, nearly independent of global flow magnitude. The
-    # group-major scratch layout makes each (g, tile) union one
-    # contiguous (taps*TILE_S, TILE_L) block reduce.
+    # PER-(group, lane-tile) walk ranges and PER-(group, tap, lane-tile)
+    # gating. The walk cost is O(union vertical range) and each tap's
+    # gather work is O(its own active range); computing either over the
+    # full band row (as the round-2 kernel did) charges every tile for
+    # every other tile's offsets, so smooth horizontal flow variation
+    # (tens of px across a 1080p row — every real video) inflated every
+    # tile's cost. Resolved per 8 x 128 output patch, both are bounded by
+    # the LOCAL variation: a global-motion field costs the same as zero
+    # motion. (Measured: a +-30 px dy ramp at zero diversity ran 5x the
+    # floor with row-wide tap gating; per-tile gating removes that.)
     for g in range(n_s):
-        gsl = pl.ds(g * taps * TILE_S, taps * TILE_S)
         for tl in range(n_l):
-            lsl = slice(tl * TILE_L, (tl + 1) * TILE_L)
-            blk = rloc_s[gsl, lsl]
-            mn = jnp.min(blk)
-            ry_gt = jnp.clip(mn, 0, rw - TILE_S - 2)
-            rys_s[g * n_l + tl] = ry_gt
-            jhi_s[g * n_l + tl] = jnp.minimum(
-                jnp.max(blk) - ry_gt + 2, lh
-            )
+            rys_s[g * n_l + tl] = 2**30
+            jhi_s[g * n_l + tl] = -(2**30)
+
+    def tap_ranges(t, _):
+        for g in range(n_s):
+            sl = strip(t, g)
+            for tl in range(n_l):
+                lsl = slice(tl * TILE_L, (tl + 1) * TILE_L)
+                blk = rloc_s[sl, lsl]
+                tmn = jnp.min(blk)
+                tmx = jnp.max(blk)
+                gt = (g * taps + t) * n_l + tl
+                # Active row range of THIS tap in THIS tile: hit is
+                # nonzero only for walk step j with base + j in
+                # [rl, rl+1], so the tap body skips every step outside
+                # [min, max+1].
+                tjlo_s[gt] = tmn
+                tjhi_s[gt] = tmx + 1
+                gl = g * n_l + tl
+                rys_s[gl] = jnp.minimum(rys_s[gl], tmn)
+                jhi_s[gl] = jnp.maximum(jhi_s[gl], tmx)
+                # Uniform-dx detection per tile: when this strip's window
+                # cols equal lane + k for one constant k, the lane-gather
+                # pair in the tap body degenerates to a dynamic lane roll
+                # (see tap_body). True at zero diversity and wherever
+                # floor(dx) is locally constant (smooth trained flow);
+                # window-edge tiles clamp cols, so only interior tiles
+                # qualify.
+                if 1 <= tl <= n_l - 2:
+                    d = xloc_s[sl, lsl] - icols[:TILE_S, lsl] % TILE_L
+                    dmin = jnp.min(d)
+                    uni = (dmin == jnp.max(d)) & (dmin >= 0) & (
+                        dmin <= lw - TILE_L - 1
+                    )
+                    kuni_s[gt] = jnp.where(uni, dmin, -1)
+                else:
+                    kuni_s[gt] = -1
+        return 0
+
+    jax.lax.fori_loop(0, taps, tap_ranges, 0)
+
+    for g in range(n_s):
+        for tl in range(n_l):
+            gl = g * n_l + tl
+            ry_gt = jnp.clip(rys_s[gl], 0, rw - TILE_S - 2)
+            rys_s[gl] = ry_gt
+            jhi_s[gl] = jnp.minimum(jhi_s[gl] - ry_gt + 2, lh)
 
     # --- window DMA ---
     copy = pltpu.make_async_copy(
@@ -307,15 +321,16 @@ def _deform_band_kernel(
                                     _lane_gather(slab, xl + 1),
                                 )
 
-                            def pair_uniform(slab=slab, t=t, g=g):
-                                # Certified in diag_tap: window cols of
-                                # this strip are lane + k over interior
-                                # tiles, so both bilinear column reads are
-                                # one dynamic lane roll (plus a static +1).
+                            def pair_uniform(slab=slab, t=t, g=g, tl=tl):
+                                # Certified in tap_ranges: window cols of
+                                # this strip's tile are lane + k for one
+                                # constant k, so both bilinear column
+                                # reads are one dynamic lane roll (plus a
+                                # static +1).
                                 # pltpu.roll(x, s, axis=1)[l] == x[l - s],
                                 # so x[l + k] needs shift (lw - k) % lw.
                                 lw_ = slab.shape[1]
-                                k = kuni_s[g * taps + t]
+                                k = kuni_s[(g * taps + t) * n_l + tl]
                                 r0 = pltpu.roll(
                                     slab, (lw_ - k) % lw_, axis=1
                                 )
@@ -324,7 +339,7 @@ def _deform_band_kernel(
 
                             if interior:
                                 g0, g1 = jax.lax.cond(
-                                    kuni_s[g * taps + t] >= 0,
+                                    kuni_s[(g * taps + t) * n_l + tl] >= 0,
                                     pair_uniform,
                                     pair_general,
                                 )
@@ -356,15 +371,13 @@ def _deform_band_kernel(
                             )
 
                         # Skip the gathers when this walk step is outside
-                        # the tap's own [min, max+1] hit range (computed
-                        # window-relative in diag_tap; rebased + clipped
-                        # onto this tile's walk here).
-                        jlo = jnp.clip(tjlo_s[g * taps + t] - ry, 0, lh - 2)
+                        # the tap's own per-tile [min, max+1] hit range
+                        # (computed window-relative in tap_ranges; rebased
+                        # + clipped onto this tile's walk here).
+                        gt = (g * taps + t) * n_l + tl
+                        jlo = jnp.clip(tjlo_s[gt] - ry, 0, lh - 2)
                         jhi_t = (
-                            jnp.clip(
-                                tjhi_s[g * taps + t] - 1 - ry, 0, lh - 2
-                            )
-                            + 1
+                            jnp.clip(tjhi_s[gt] - 1 - ry, 0, lh - 2) + 1
                         )
                         return jax.lax.cond(
                             (j >= jlo) & (j <= jhi_t),
@@ -459,9 +472,15 @@ def _deform_pallas_nhwc(img3, off, wt, ch: int, og: int, ng: int,
             pltpu.SMEM(
                 (BAND_ROWS // TILE_S * (W // TILE_L),), jnp.int32
             ),  # jhi (per group x lane tile)
-            pltpu.SMEM((BAND_ROWS // TILE_S * T,), jnp.int32),  # tjlo
-            pltpu.SMEM((BAND_ROWS // TILE_S * T,), jnp.int32),  # tjhi
-            pltpu.SMEM((BAND_ROWS // TILE_S * T,), jnp.int32),  # kuni
+            pltpu.SMEM(
+                (BAND_ROWS // TILE_S * T * (W // TILE_L),), jnp.int32
+            ),  # tjlo (per group x tap x lane tile)
+            pltpu.SMEM(
+                (BAND_ROWS // TILE_S * T * (W // TILE_L),), jnp.int32
+            ),  # tjhi (per group x tap x lane tile)
+            pltpu.SMEM(
+                (BAND_ROWS // TILE_S * T * (W // TILE_L),), jnp.int32
+            ),  # kuni (per group x tap x lane tile)
             pltpu.SMEM((2,), jnp.int32),                  # r_lo, qdx
             pltpu.SemaphoreType.DMA,
         ],
