@@ -25,8 +25,11 @@ ITERS = 8
 
 
 def timed(name, fn, *args):
+    # block_until_ready does NOT block through the axon relay: force the
+    # warm-up (incl. compile/load) to complete by fetching a scalar, or
+    # the compile lands inside the timed loop (PERF.md discipline).
     out = fn(*args)
-    jax.block_until_ready(out)
+    float(jax.tree_util.tree_leaves(out)[0].ravel()[0])
     t0 = time.perf_counter()
     carry = jnp.float32(0.0)
     for _ in range(ITERS):

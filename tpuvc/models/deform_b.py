@@ -71,10 +71,14 @@ class DeformB(nn.Module):
         )
 
     def _deform_pair(self, head, f1, f2, d1, d2):
+        from tpuvc.ops.warp import sequenced
+
         o1, o2 = jnp.split(head, 2, axis=-1)
         off1, m1 = _head_to_deform(o1)
         off2, m2 = _head_to_deform(o2)
-        return jnp.concatenate([d1(f1, off1, m1), d2(f2, off2, m2)], axis=-1)
+        s1 = d1(f1, off1, m1)
+        f2, s1 = sequenced(f2, s1)  # order the two deform kernels
+        return jnp.concatenate([s1, d2(f2, off2, m2)], axis=-1)
 
     def __call__(self, xref1, xref2, xcur, s, mode: str = "noise", rng=None):
         B, H, W, _ = xcur.shape
@@ -165,15 +169,27 @@ class DeformB(nn.Module):
         return self.feature_extractor(x)
 
     def fuse_offsets(self, heads, fref1, fref2):
+        # Sequenced with optimization barriers for the same reason as
+        # FlowGuidedB.fuse_offsets: multiple fused-deform Pallas calls in
+        # one XLA program intermittently corrupt the last instance's tail
+        # grid steps when the scheduler overlaps them (v5e, jax 0.9 —
+        # scripts/debug_fuse_flake.py); decode bit-exactness requires
+        # strict determinism.
         pairs = (
             (self.deconv_l1_1, self.deconv_l1_2),
             (self.deconv_l2_1, self.deconv_l2_2),
             (self.deconv_l3_1, self.deconv_l3_2),
         )
-        return tuple(
-            self._deform_pair(heads[i], fref1[i], fref2[i], *pairs[i])
-            for i in range(3)
-        )
+        out = []
+        for i in range(3):
+            f1 = fref1[i]
+            if out:
+                f1, prev = jax.lax.optimization_barrier((f1, out[-1]))
+                out[-1] = prev
+            out.append(
+                self._deform_pair(heads[i], f1, fref2[i], *pairs[i])
+            )
+        return tuple(out)
 
     def residual_cond(self, x_comp):
         return self.residual_temp_encoder(*x_comp)
@@ -309,17 +325,23 @@ class DeformBCoder:
         x_full = tuple(xc + r for xc, r in zip(x_comp, res["outs"]))
         x_hat = self._recon(self.variables, *x_full)
         batch = xcur.shape[0]
+        # capture ONLY the stream resolvers + metadata: closing over the
+        # full off/res dicts would pin their device arrays ("outs",
+        # feature-pyramid sized) for every pending chunk — at 1080p that
+        # exhausts HBM within one GOP window
+        off_resolve, res_resolve = off["streams_resolve"], res["streams_resolve"]
+        z_shape = off["z_shape"]
 
         def resolve():
-            off_streams = off["streams_resolve"]()
-            res_streams = res["streams_resolve"]()
+            off_streams = off_resolve()
+            res_streams = res_resolve()
             return [
                 VFrameBitstream(
                     s_milli=int(round(float(s) * 1000)),
                     down_ratio=1,
                     scale1_centi=0,
                     scale2_centi=0,
-                    z_shape=off["z_shape"],
+                    z_shape=z_shape,
                     streams=list(off_streams[b]) + list(res_streams[b]),
                 )
                 for b in range(batch)

@@ -66,7 +66,7 @@ from tpuvc.entropy.laplace import LaplaceConditional
 from tpuvc.entropy.quant import quantize
 from tpuvc.models.layers import Conv, ResidualBottleneckBlock, SubpelConv
 from tpuvc.models.spynet import SPyNet
-from tpuvc.ops.warp import warp
+from tpuvc.ops.warp import sequenced, warp
 
 
 def resize_antialias(x, out_h: int, out_w: int):
@@ -340,6 +340,7 @@ class PFrameDMC(nn.Module):
     def motion_compensate(self, ref_frame, ref_feature, mv_hat):
         f = self.ref_features(ref_frame, ref_feature)
         warped_f = warp(f, mv_hat)
+        ref_frame, warped_f = sequenced(ref_frame, warped_f)  # order kernels
         warped_x = warp(ref_frame, mv_hat)
         ctx = jnp.concatenate([warped_f, warped_x, mv_hat], axis=-1)
         x = self.ctx_refine[0](ctx)

@@ -35,7 +35,7 @@ import flax.linen as nn
 from tpuvc.entropy.emath import likelihood_to_bits
 from tpuvc.models.hyperprior import MeanScaleHyperprior
 from tpuvc.models.unet import UNet
-from tpuvc.ops.warp import warp
+from tpuvc.ops.warp import sequenced, warp
 
 
 class GainModule(nn.Module):
@@ -143,6 +143,7 @@ class BidirFlowRef(nn.Module):
         flow_t_0 = -(1 - t) * t * flow_0_1 + t * t * flow_1_0
         flow_t_1 = (1 - t) * (1 - t) * flow_0_1 - t * (1 - t) * flow_1_0
         xt1 = warp(x0, flow_t_0)
+        x1, xt1 = sequenced(x1, xt1)  # order the two warp kernels
         xt2 = warp(x1, flow_t_1)
         context = jnp.concatenate([flow_t_0, flow_t_1, x, xt1, xt2], axis=-1)
         return flow_t_0, flow_t_1, context
@@ -150,6 +151,7 @@ class BidirFlowRef(nn.Module):
     def compensate(self, x_before, x_after, mv_before, mv_after):
         """Warp both refs and blend with the 2-channel softmask."""
         x_b = warp(x_before, mv_before)
+        x_after, x_b = sequenced(x_after, x_b)  # order the two warp kernels
         x_a = warp(x_after, mv_after)
         ctx = jnp.concatenate(
             [mv_before, mv_after, x_before, x_after, x_b, x_a], axis=-1
@@ -562,15 +564,19 @@ class FlexRateCoder:
         x_hat = x_comp + self.res_coder.synthesize(res["y_hat"], n, l)
         rate_id = n * 100000 + int(round(l * 1000))
         batch = x_current.shape[0]
+        # capture only futures + shapes — NOT the mv/res dicts (HBM; see
+        # LHBDCCoder.encode_level_batch_async)
+        mv_fut, res_fut = mv["strings_future"], res["strings_future"]
+        mv_shape, res_shape = tuple(mv["shape"]), tuple(res["shape"])
 
         def resolve():
-            mv_strings = mv["strings_future"].result()
-            res_strings = res["strings_future"].result()
+            mv_strings = mv_fut.result()
+            res_strings = res_fut.result()
             return [
                 BFrameBitstream(
                     rate_id=rate_id,
-                    mv_shape=tuple(mv["shape"]),
-                    res_shape=tuple(res["shape"]),
+                    mv_shape=mv_shape,
+                    res_shape=res_shape,
                     mv_y=mv_strings[b][0],
                     mv_z=mv_strings[b][1],
                     res_y=res_strings[b][0],

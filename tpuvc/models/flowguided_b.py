@@ -35,7 +35,7 @@ from tpuvc.models.ms_feature import (
 from tpuvc.models.offset_diversity import OffsetDiversity
 from tpuvc.ops.pad import pad_to_multiple, unpad
 from tpuvc.ops.resample import avg_pool2d, bilinear_resize
-from tpuvc.ops.warp import warp
+from tpuvc.ops.warp import sequenced, warp
 
 
 def convert_scales(scale1, scale2):
@@ -120,6 +120,7 @@ class FlowGuidedB(nn.Module):
         flow_cur1 = flow_21 * scale1
         flow_cur2 = flow_12 * scale2
         wref1 = warp(fref1, flow_cur1)
+        fref2, wref1 = sequenced(fref2, wref1)  # order the two warp kernels
         wref2 = warp(fref2, flow_cur2)
         h, w = flow.shape[-3] // 2, flow.shape[-2] // 2
         down_flow = bilinear_resize(flow, h, w) * 0.5
@@ -268,7 +269,18 @@ class FlowGuidedB(nn.Module):
         return self.feature_extractor(x)
 
     def fuse_offsets(self, heads, fref1, fref2, flows):
-        """OffsetDiversity fusion of decoded offset heads -> x_comp triple."""
+        """OffsetDiversity fusion of decoded offset heads -> x_comp triple.
+
+        The three fused-deform Pallas calls are explicitly SEQUENCED with
+        optimization barriers: with all three in one XLA program the
+        scheduler otherwise overlaps their windows and the L3 instance's
+        last grid steps intermittently read/write stale data (~10% of
+        runs, a few hundred elements) — observed on jax 0.9/v5e, kernel
+        deterministic in isolation (scripts/debug_fuse_flake.py /
+        debug_deform_flake.py). Bit-exact decode is a hard codec
+        requirement, so ordering wins over any overlap the scheduler
+        could have found.
+        """
         divs = (
             self.offset_diversity_l1,
             self.offset_diversity_l2,
@@ -277,8 +289,12 @@ class FlowGuidedB(nn.Module):
         out = []
         for i in range(3):
             o1, o2 = jnp.split(heads[i], 2, axis=-1)
+            x1 = fref1[i]
+            if out:
+                x1, prev = jax.lax.optimization_barrier((x1, out[-1]))
+                out[-1] = prev
             out.append(
-                divs[i](fref1[i], o1, flows[i][0], fref2[i], o2, flows[i][1])
+                divs[i](x1, o1, flows[i][0], fref2[i], o2, flows[i][1])
             )
         return tuple(out)
 
@@ -300,6 +316,7 @@ class FlowGuidedB(nn.Module):
         flow = bilinear_resize(flow, H, W) * 2.0
         flow_21, flow_12 = jnp.split(flow, 2, axis=-1)
         wref1 = warp(xref1, flow_21 * scale1)
+        xref2, wref1 = sequenced(xref2, wref1)  # order the two warp kernels
         wref2 = warp(xref2, flow_12 * scale2)
         return 0.5 * wref1 + 0.5 * wref2
 
@@ -438,17 +455,22 @@ class FlowGuidedBCoder:
         x_full = tuple(xc + r for xc, r in zip(x_comp, res["outs"]))
         x_hat = self._recon(self.variables, *x_full)
         batch = xcur.shape[0]
+        # capture only resolvers + metadata — NOT the off/res dicts, whose
+        # device arrays would stay pinned per pending chunk (HBM; see
+        # DeformBCoder.encode_level_batch_async)
+        off_resolve, res_resolve = off["streams_resolve"], res["streams_resolve"]
+        z_shape = off["z_shape"]
 
         def resolve():
-            off_streams = off["streams_resolve"]()
-            res_streams = res["streams_resolve"]()
+            off_streams = off_resolve()
+            res_streams = res_resolve()
             return [
                 VFrameBitstream(
                     s_milli=int(round(float(s) * 1000)),
                     down_ratio=down_ratio,
                     scale1_centi=int(round(float(scale1) * 100)),
                     scale2_centi=int(round(float(scale2) * 100)),
-                    z_shape=off["z_shape"],
+                    z_shape=z_shape,
                     streams=list(off_streams[b]) + list(res_streams[b]),
                 )
                 for b in range(batch)

@@ -28,7 +28,7 @@ from tpuvc.models.spynet import SPyNet
 from tpuvc.models.unet import MaskUNet
 from tpuvc.ops.pad import pad_to_multiple, unpad
 from tpuvc.ops.resample import avg_pool2d, upsample_flow
-from tpuvc.ops.warp import warp
+from tpuvc.ops.warp import sequenced, warp
 
 
 class LHBDC(nn.Module):
@@ -98,6 +98,7 @@ class LHBDC(nn.Module):
         flow_cb_hat = upsample_flow(unpad(flow_cb_hat, size), 4)
         flow_ca_hat = upsample_flow(unpad(flow_ca_hat, size), 4)
         fw = warp(x_before, flow_cb_hat, compat="lhbdc")
+        x_after, fw = sequenced(x_after, fw)  # order the two warp kernels
         bw = warp(x_after, flow_ca_hat, compat="lhbdc")
         mask = self.masknet(jnp.concatenate([fw, bw], axis=-1))
         return mask * fw + (1.0 - mask) * bw
@@ -348,15 +349,19 @@ class LHBDCCoder:
         )
         x_hat = x_pred + self.res_coder.synthesize(res["y_hat"])
         batch = x_current.shape[0]
+        # capture only futures + shapes — NOT the mv/res dicts, whose
+        # y_hat device arrays would stay pinned per pending chunk
+        mv_fut, res_fut = mv["strings_future"], res["strings_future"]
+        mv_shape, res_shape = tuple(mv["shape"]), tuple(res["shape"])
 
         def resolve():
-            mv_strings = mv["strings_future"].result()
-            res_strings = res["strings_future"].result()
+            mv_strings = mv_fut.result()
+            res_strings = res_fut.result()
             return [
                 BFrameBitstream(
                     rate_id=rate_id,
-                    mv_shape=tuple(mv["shape"]),
-                    res_shape=tuple(res["shape"]),
+                    mv_shape=mv_shape,
+                    res_shape=res_shape,
                     mv_y=mv_strings[b][0],
                     mv_z=mv_strings[b][1],
                     res_y=res_strings[b][0],

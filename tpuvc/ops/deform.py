@@ -74,12 +74,15 @@ def _warp_zero_pallas(img, flow, interpret: bool = False):
     B, H, W, C = img.shape
     imgp = jnp.pad(img, ((0, 0), (1, 1), (1, 1), (0, 0)))
     flowp = jnp.pad(flow, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
-    outs = [
-        warp_pallas(
-            imgp[..., c0 : c0 + MAX_CHANNELS], flowp, 1.0, 1.0, interpret
-        )
-        for c0 in range(0, C, MAX_CHANNELS)
-    ]
+    # chunks sequenced with barriers — see warp_pallas_chunked for why
+    # independent back-to-back Pallas calls must not be left unordered
+    outs = []
+    for c0 in range(0, C, MAX_CHANNELS):
+        chunk = imgp[..., c0 : c0 + MAX_CHANNELS]
+        if outs:
+            chunk, prev = jax.lax.optimization_barrier((chunk, outs[-1]))
+            outs[-1] = prev
+        outs.append(warp_pallas(chunk, flowp, 1.0, 1.0, interpret))
     out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
     return out[:, 1 : H + 1, 1 : W + 1, :]
 

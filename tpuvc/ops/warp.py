@@ -45,6 +45,23 @@ def _use_pallas(img: jnp.ndarray) -> bool:
     return eligible and jax.default_backend() in ("tpu", "axon")
 
 
+def sequenced(next_in, prev_out):
+    """Order two otherwise-independent Pallas kernel calls.
+
+    Ties the next call's input to the previous call's output with an
+    optimization barrier, so the compiler cannot schedule the two custom
+    calls back-to-back unordered — which intermittently corrupts the
+    predecessor's tail grid steps (trailing output DMA vs the next
+    kernel's scratch reuse; observed on v5e/jax 0.9, reproduced and fixed
+    in scripts/debug_fuse_flake.py). Use between consecutive warp/deform
+    calls that share no data. Returns (next_in, prev_out) unchanged in
+    value; on a single TensorCore the lost overlap is nil.
+    """
+    import jax as _jax
+
+    return _jax.lax.optimization_barrier((next_in, prev_out))
+
+
 def warp(img: jnp.ndarray, flow: jnp.ndarray, compat: str = "exact") -> jnp.ndarray:
     """Backward-warp ``img`` by ``flow``.
 
@@ -129,5 +146,6 @@ def warp_and_blend(
     XLA fuses the elementwise blend into the gather epilogues.
     """
     fw = warp(img_fw, flow_fw, compat=compat)
+    img_bw, fw = sequenced(img_bw, fw)  # order the two warp kernels
     bw = warp(img_bw, flow_bw, compat=compat)
     return mask * fw + (1.0 - mask) * bw

@@ -431,14 +431,25 @@ def warp_pallas_chunked(img, flow, sx=1.0, sy=1.0, interpret=False):
     """warp_pallas for arbitrary channel counts: C > MAX_CHANNELS inputs are
     split into MAX_CHANNELS-wide slices sharing the same flow (the band
     index precompute is repeated per slice, but the gather work — the actual
-    bottleneck — is unchanged). 3x over the XLA gather at 1080p C=48."""
+    bottleneck — is unchanged). 3x over the XLA gather at 1080p C=48.
+
+    Chunks are SEQUENCED with optimization barriers: independent Pallas
+    calls in one XLA program intermittently corrupt a predecessor's tail
+    grid steps when scheduled back-to-back (trailing output DMA vs the
+    next kernel's scratch reuse; v5e, jax 0.9 — see
+    scripts/debug_fuse_flake.py and FlowGuidedB.fuse_offsets). The
+    explicit data dependency makes the runtime await each call; on a
+    single TensorCore the lost overlap is nil."""
     C = img.shape[-1]
     if C <= MAX_CHANNELS:
         return warp_pallas(img, flow, sx, sy, interpret)
-    outs = [
-        warp_pallas(img[..., c0 : c0 + MAX_CHANNELS], flow, sx, sy, interpret)
-        for c0 in range(0, C, MAX_CHANNELS)
-    ]
+    outs = []
+    for c0 in range(0, C, MAX_CHANNELS):
+        chunk = img[..., c0 : c0 + MAX_CHANNELS]
+        if outs:
+            chunk, prev = jax.lax.optimization_barrier((chunk, outs[-1]))
+            outs[-1] = prev
+        outs.append(warp_pallas(chunk, flow, sx, sy, interpret))
     return jnp.concatenate(outs, axis=-1)
 
 
