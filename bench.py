@@ -17,7 +17,7 @@ remote compile service, ~150 s per batch shape):
     multiple of 4 frames except level 1 (2 frames, padded by duplication
     to 4 — 6.25% padded compute, counted as overhead: fps counts real
     frames only).
-  * Wall-clock budget ``TPUVC_BENCH_BUDGET_S`` (default 420 s): the
+  * Wall-clock budget ``TPUVC_BENCH_BUDGET_S`` (default 540 s): the
     headline enc+dec JSON is printed as soon as one measured window
     exists; extra measurement windows and the likelihood-eval fps are
     added only while budget remains, each re-emitting an enriched line.
@@ -58,6 +58,10 @@ def _emit(payload):
 
 
 def main():
+    # Parseable trace even if the run times out mid-warm-up: the driver
+    # (or a human) can distinguish "never started" from "budget hit".
+    _emit({"status": "warming", "budget_s": BUDGET_S})
+
     import jax
 
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")

@@ -213,8 +213,64 @@ def golden_lhbdc_mid() -> dict:
     return _record(blob, x_hat, xc)
 
 
+def golden_cond_elic() -> dict:
+    """CondELICCoder (checkerboard + gains + prior fusion) directly, at a
+    size small enough to compile in the fast tier: the v3/v4 full-model
+    golden cases are slow-tier, and r3's encode-path rewrite (async host
+    phases) showed this coder needs a byte-exact guard that runs on every
+    fast `pytest` invocation (ADVICE r3)."""
+    import hashlib
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpuvc.models.cond_elic import CondELIC, CondELICCoder
+
+    model = CondELIC(
+        head_channels=(8, 8, 8), N=16, M=16, levels=3, groups=(4, 4, 8)
+    )
+    rng = _rng(14)
+
+    def feat(h, w, c, scale=1.0):
+        return jnp.asarray(
+            (scale * rng.standard_normal((1, h, w, c))).astype(np.float32)
+        )
+
+    inputs = (feat(32, 32, 8), feat(16, 16, 8), feat(8, 8, 8))
+    conds = (feat(32, 32, 8), feat(16, 16, 8), feat(8, 8, 8))
+    tc = feat(4, 4, 16, scale=0.3)
+    variables = model.init(
+        jax.random.key(17), inputs, conds, tc, 1, "dequantize"
+    )
+    coder = CondELICCoder(model, variables)
+    out = coder.compress(inputs, conds, tc, s=1.0)
+    streams = [out["streams"][0]] + [
+        s for pair in out["streams"][1:] for s in ([pair] if isinstance(pair, bytes) else pair)
+    ]
+    h = hashlib.sha256()
+    for s in streams:
+        h.update(len(s).to_bytes(4, "little"))
+        h.update(s)
+    dec = coder.decompress(
+        out["streams"], out["z_shape"], conds, tc, s=1.0
+    )
+    for a, b in zip(dec, out["outs"]):
+        assert jnp.array_equal(a, b), "decompress != encoder-side outs"
+    total = sum(len(s) for s in streams)
+    # PSNR slot: out1 vs zeros is meaningless; record out1's rms as the
+    # drift scalar instead (same 1e-3 tolerance applies).
+    rms = float(np.sqrt(np.mean(np.asarray(dec[0], np.float64) ** 2)))
+    return {
+        "stream_sha256": h.hexdigest(),
+        "stream_len": total,
+        "psnr": round(rms, 4),
+    }
+
+
 CASES = {
     "lhbdc": golden_lhbdc,
+    "cond_elic": golden_cond_elic,
     "lhbdc_mid": golden_lhbdc_mid,
     "flexrate": golden_flexrate,
     "deform_b": golden_deform_b,

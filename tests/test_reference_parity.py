@@ -1,0 +1,85 @@
+"""Numerical parity against the reference's OWN PyTorch code (VERDICT r3
+task #1): /root/reference model code is executed on torch-cpu through the
+tests/refshim compressai/torchvision shims, its random-init state_dict is
+pushed through tpuvc.utils.torch_import, and the tpuvc forward must agree
+stage by stage. See tests/parity_common.py for the stage definitions and
+scripts/gen_parity.py for the PARITY.md table generator.
+
+What this proves: transforms (incl. GDN reparam + subpel layouts), warp
+semantics, entropy math (factorized + Gaussian conditional likelihood
+bits), quantization behavior, and every layout conversion in the
+importer — i.e. that a reference user's trained checkpoint evaluates
+identically under tpuvc. It found (and now guards) the flexrate
+half-pixel warp quirk (tpuvc/ops/warp.py compat='flexrate').
+
+Thresholds: f32 accumulation-order noise across frameworks measures
+~1e-5 relative on reconstructions and ~1e-6 on bit counts (PARITY.md
+records the exact measured numbers per round); the bounds below leave
+~30x headroom while still catching any real semantic drift (a single
+flipped quantization bin moves a reconstruction pixel by >>1e-3).
+"""
+
+import numpy as np
+import pytest
+
+from parity_common import (
+    deform_b_parity,
+    flexrate_parity,
+    flowguided_parity,
+    lhbdc_parity,
+)
+
+pytestmark = pytest.mark.slow
+
+
+def _check(table, bounds):
+    bad = []
+    for stage, limit in bounds.items():
+        row = table.rows[stage]
+        if not np.isfinite(row["max_abs"]) or row["max_abs"] > limit:
+            bad.append((stage, row, limit))
+    assert not bad, f"{table.family} parity drift:\n{table.markdown()}\n{bad}"
+
+
+class TestLhbdcParity:
+    def test_stage_by_stage(self):
+        t = lhbdc_parity()
+        _check(t, {
+            "flow_ba": 1e-4, "flow_ab": 1e-4, "flow_cb": 1e-4,
+            "flow_ca": 1e-4,
+            # bits: absolute tolerance scaled to the ~1e4-bit totals
+            "bits_flow": 1.0, "bits_residual": 1.0, "size": 1.0,
+            "x_pred": 1e-3, "x_hat": 1e-3,
+            "rate": 1e-4,
+        })
+
+
+class TestFlexrateParity:
+    def test_stage_by_stage(self):
+        t = flexrate_parity()
+        _check(t, {
+            "flow_pred": 1e-5,
+            "x_comp": 1e-3, "x_hat": 1e-3,
+            "size": 1.0, "rate": 1e-4,
+        })
+
+    def test_fractional_level(self):
+        t = flexrate_parity(n=1, l=0.5)
+        _check(t, {"x_hat": 1e-3, "size": 1.0})
+
+
+class TestDeformBParity:
+    def test_stage_by_stage(self):
+        """v3: transforms + checkerboard/channel-ctx entropy + the
+        torchvision deform_conv2d semantics vs tpuvc's deform."""
+        t = deform_b_parity()
+        _check(t, {"x_hat": 1e-4, "size": 1.0, "rate": 1e-4})
+
+
+class TestFlowGuidedParity:
+    def test_stage_by_stage(self):
+        """v4: FlowNET + flow-guided OffsetDiversity deform fusion +
+        conditional ELIC bottlenecks."""
+        t = flowguided_parity()
+        _check(t, {"flow_l1": 1e-4, "x_hat": 1e-4, "size": 1.0,
+                   "rate": 1e-4})

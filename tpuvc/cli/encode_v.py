@@ -261,8 +261,14 @@ def _encode_level_batched(args, frames, coder, intra_coder):
         for g in starts:
             decoded[g] = anchors[g]
             decoded[g + gop] = anchors[g + gop]
-        pending = []  # (chunk, resolve) — host phases drain on workers
+        # Host phases drain on workers; each level's futures are resolved
+        # right after the NEXT level dispatches (one level behind), so a
+        # rANS/packing exception surfaces within a level of its cause and
+        # resolved closures release their pinned symbol arrays instead of
+        # accumulating across the whole window (ADVICE r3).
+        pending_prev = []  # previous level's (chunk, resolve)
         for level_frames in table.frames_by_level():
+            pending_cur = []
             work = [(g0, f) for f in level_frames for g0 in starts]
             for c0 in range(0, len(work), args.max_batch):
                 tc = time.perf_counter()
@@ -306,13 +312,17 @@ def _encode_level_batched(args, frames, coder, intra_coder):
                 x_hat = jnp.clip(x_hat, 0.0, 1.0)
                 for i, (g0, f) in enumerate(chunk):
                     decoded[g0 + f] = x_hat[i : i + 1]
-                pending.append((chunk, resolve))
+                pending_cur.append((chunk, resolve))
                 if timing:
                     print(
                         f"  chunk {chunk} (B={len(chunk)}): "
                         f"{time.perf_counter() - tc:.2f}s dispatch"
                     )
-        for chunk, resolve in pending:
+            for chunk, resolve in pending_prev:
+                for (g0, f), b in zip(chunk, resolve()):
+                    records.append(("B", g0 + f, b.serialize()))
+            pending_prev = pending_cur
+        for chunk, resolve in pending_prev:
             for (g0, f), b in zip(chunk, resolve()):
                 records.append(("B", g0 + f, b.serialize()))
         print(f"window {w0}..{starts[-1] + gop} coded")

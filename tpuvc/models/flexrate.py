@@ -136,23 +136,32 @@ class BidirFlowRef(nn.Module):
         )
 
     def process(self, x0, x1, t: float = 0.5):
-        """Predict bidirectional flow and project to time t (b_model.py:35-45)."""
+        """Predict bidirectional flow and project to time t (b_model.py:35-45).
+
+        All warps in this family use compat='flexrate': the reference's
+        backwarp (b_model.py:99-112) normalizes the grid for
+        align_corners=True but calls grid_sample with the DEFAULT
+        align_corners=False and zeros padding, so it effectively samples at
+        (x+u-0.5, y+v-0.5) with out-of-frame taps reading 0. Reference
+        checkpoints are trained against that behavior; reproducing it is
+        required for import parity (found by tests/test_reference_parity.py,
+        round 4)."""
         x = jnp.concatenate([x0, x1], axis=-1)
         flow = self.flow_predictor(x)
         flow_0_1, flow_1_0 = flow[..., :2], flow[..., 2:4]
         flow_t_0 = -(1 - t) * t * flow_0_1 + t * t * flow_1_0
         flow_t_1 = (1 - t) * (1 - t) * flow_0_1 - t * (1 - t) * flow_1_0
-        xt1 = warp(x0, flow_t_0)
+        xt1 = warp(x0, flow_t_0, compat="flexrate")
         x1, xt1 = sequenced(x1, xt1)  # order the two warp kernels
-        xt2 = warp(x1, flow_t_1)
+        xt2 = warp(x1, flow_t_1, compat="flexrate")
         context = jnp.concatenate([flow_t_0, flow_t_1, x, xt1, xt2], axis=-1)
         return flow_t_0, flow_t_1, context
 
     def compensate(self, x_before, x_after, mv_before, mv_after):
         """Warp both refs and blend with the 2-channel softmask."""
-        x_b = warp(x_before, mv_before)
+        x_b = warp(x_before, mv_before, compat="flexrate")
         x_after, x_b = sequenced(x_after, x_b)  # order the two warp kernels
-        x_a = warp(x_after, mv_after)
+        x_a = warp(x_after, mv_after, compat="flexrate")
         ctx = jnp.concatenate(
             [mv_before, mv_after, x_before, x_after, x_b, x_a], axis=-1
         )

@@ -9,12 +9,22 @@ Behavioral parity targets (reference, /root/reference):
   - LHBDC/model/flow.py:15-25 and LHBDC/model/m.py:111-126: grid_sample with
     ``align_corners=False``, ``padding_mode='border'``, flow normalized by
     (size-1)/2. Net effect: a flow value f displaces by f * size/(size-1) px.
-  - ICIP2024/src/model/m.py:262-282, Flex-Rate.../b_model/b_model.py:99-112:
-    grid_sample with ``align_corners=True``; net displacement exactly f px.
+  - ICIP2024/src/model/m.py:262-282 (and OJSP2025/video_model.py:675):
+    grid_sample with ``align_corners=True``, border padding; net displacement
+    exactly f px.
+  - Flex-Rate.../b_model/b_model.py:99-112: grid normalized ``2*(x/W-0.5)``
+    under grid_sample's DEFAULT ``align_corners=False`` with ZEROS padding —
+    the effective sample point is (x + u - 0.5, y + v - 0.5) and
+    out-of-frame taps contribute 0 (verified against the executed reference
+    code in tests/test_reference_parity.py).
 
 ``compat='exact'`` gives the clean f-pixel displacement (default; used by the
-v2/v3/v4 codecs). ``compat='lhbdc'`` reproduces the size/(size-1) scaling of
-the v1 warp so the LHBDC codec family keeps its training-time behavior.
+v3/v4 codecs and the DMC). ``compat='lhbdc'`` reproduces the size/(size-1)
+scaling of the v1 warp. ``compat='flexrate'`` reproduces the v2 half-pixel
+shift + zeros padding (implemented as an exact warp over a one-pixel
+zero-padded frame, so both the XLA-gather and the Pallas band-kernel paths
+serve it unchanged: any sample beyond the zero ring border-clamps INTO the
+ring, which equals zeros padding for every out-of-frame distance).
 """
 
 from __future__ import annotations
@@ -78,6 +88,12 @@ def warp(img: jnp.ndarray, flow: jnp.ndarray, compat: str = "exact") -> jnp.ndar
     B, H, W, C = img.shape
     assert flow.shape[:3] == (B, H, W) and flow.shape[3] == 2, flow.shape
 
+    if compat == "flexrate":
+        imgp = jnp.pad(img, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        flowp = jnp.pad(
+            flow - 0.5, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge"
+        )
+        return warp(imgp, flowp, compat="exact")[:, 1:-1, 1:-1]
     if compat == "lhbdc":
         sx = W / (W - 1.0)
         sy = H / (H - 1.0)
