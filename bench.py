@@ -151,19 +151,29 @@ def main():
         decoded = dict(anchors)
         stream_of = dict(out_bits)
         outs = {}
+        # Phase A: submit EVERY level's entropy decode up front — it is
+        # reference-independent (z off the stream -> h_s params -> y rANS),
+        # so the host phases of later levels overlap the device tail
+        # (flow/compensation/synthesis) of earlier ones.
+        plan = []
         for abs_frames in levels_abs:
             for chunk, nr in chunks_padded(abs_frames):
-                refs = [refs_of(f) for f in chunk]
-                xb = jnp.concatenate([decoded[a] for a, _ in refs], axis=0)
-                xa = jnp.concatenate([decoded[b] for _, b in refs], axis=0)
                 parsed = [
                     BFrameBitstream.deserialize(stream_of[f].serialize())
                     for f in chunk
                 ]
-                x_hat = coder.decode_level_batch(xb, xa, parsed)
-                for i, f in enumerate(chunk[:nr]):
-                    decoded[f] = x_hat[i : i + 1]
-                    outs[f] = x_hat[i : i + 1]
+                plan.append(
+                    (chunk, nr, coder.decode_level_batch_async(parsed))
+                )
+        # Phase B: the ref-dependent device walk in hierarchy order.
+        for chunk, nr, resolve in plan:
+            refs = [refs_of(f) for f in chunk]
+            xb = jnp.concatenate([decoded[a] for a, _ in refs], axis=0)
+            xa = jnp.concatenate([decoded[b] for _, b in refs], axis=0)
+            x_hat = resolve(xb, xa)
+            for i, f in enumerate(chunk[:nr]):
+                decoded[f] = x_hat[i : i + 1]
+                outs[f] = x_hat[i : i + 1]
         return outs
 
     warm_bits, warm_recons = code_window()  # load/compile encode graphs

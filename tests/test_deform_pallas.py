@@ -133,10 +133,12 @@ class TestFusedDeformConvRoute:
         np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
 
     def test_fused_chunked_channels_matches_xla(self, rng, monkeypatch):
-        """Cg beyond the kernel cap (v4 L2/L3 shapes: Cg=12/16) folds the
-        group channels chunk-minor into the kernel's batch/weight-group
-        axis (ONE pallas_call, zero-padded tail chunk); the summed partial
-        contractions match the tap-unrolled XLA result."""
+        """Cg beyond the kernel cap folds the group channels chunk-minor
+        into the kernel's batch/weight-group axis (ONE pallas_call,
+        zero-padded tail chunk); the summed partial contractions match the
+        tap-unrolled XLA result. Since r4's planar-channel kernel the cap
+        is 16, so the v4 L2/L3 shapes (Cg=12/16) ride UNCHUNKED — both
+        regimes are asserted here."""
         import tpuvc.ops.deform_pallas as dp
 
         from tpuvc.ops.deform import _deform_taps
@@ -169,6 +171,25 @@ class TestFusedDeformConvRoute:
         out = _deform_taps(
             x, offsets, masks, weight, None, G, K, fused=True
         )
-        # one call: chunks ride the batch axis (B*G*nc), channels padded
-        assert calls == [(1 * G * 2, 24, 40, 8)]
+        # Cg=12 <= cap 16: one call, no chunk fold
+        assert calls == [(1 * G, 24, 40, 12)]
         np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+        # Cg=40 > cap: chunks ride the batch axis (B*G*nc), zero-padded
+        calls.clear()
+        C2, G2 = 40, 1
+        x2 = jnp.asarray(rng.random((B, H, W, C2), dtype=np.float32))
+        off2 = jnp.asarray(
+            (rng.random((B, H, W, G2 * K * K * 2), dtype=np.float32) - 0.5)
+            * 6
+        )
+        m2 = jnp.asarray(rng.random((B, H, W, G2 * K * K), dtype=np.float32))
+        w2 = jnp.asarray(
+            rng.standard_normal((K, K, C2 // G2, 4), dtype=np.float32) * 0.2
+        )
+        ref2 = _deform_taps(
+            x2, off2, m2, w2, None, G2, K, fused=False, force_xla=True
+        )
+        out2 = _deform_taps(x2, off2, m2, w2, None, G2, K, fused=True)
+        assert calls == [(1 * G2 * 3, 24, 40, 16)]
+        np.testing.assert_allclose(out2, ref2, rtol=1e-4, atol=1e-4)

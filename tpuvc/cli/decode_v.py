@@ -88,7 +88,7 @@ def _decode_level_batched(args, seq, coder, intra_coder, originals,
     decoded_host: dict[int, np.ndarray] = {}
     t0 = time.perf_counter()
 
-    def flush(chunk):
+    def flush(chunk, resolve=None):
         if not chunk:
             return
         w0 = (chunk[0][0] // window) * window
@@ -104,10 +104,12 @@ def _decode_level_batched(args, seq, coder, intra_coder, originals,
         xa = jnp.concatenate(
             [decoded[g0 + b] for g0, (_, b) in zip(gs, refs)], axis=0
         )
-        bits = [frame_cls.deserialize(blob) for _, blob in chunk]
-        x_hat = jnp.clip(
-            coder.decode_level_batch(xb, xa, bits), 0.0, 1.0
-        )
+        if resolve is None:
+            bits = [frame_cls.deserialize(blob) for _, blob in chunk]
+            x_hat = coder.decode_level_batch(xb, xa, bits)
+        else:
+            x_hat = resolve(xb, xa)
+        x_hat = jnp.clip(x_hat, 0.0, 1.0)
         host = np.asarray(x_hat)
         for i, (idx, _) in enumerate(chunk):
             decoded[idx] = x_hat[i : i + 1]
@@ -129,31 +131,66 @@ def _decode_level_batched(args, seq, coder, intra_coder, originals,
             decoded[idx] = dec[j : j + 1]
             decoded_host[idx] = host[j, :h, :w]
 
+    # Group the file's records into the encoder's exact batches first …
+    groups: list = []  # ("I", run) | ("B", chunk)
     chunk: list = []
     i_run: list = []
+    for ftyp, idx, blob in seq.frames:
+        if ftyp == "I":
+            if chunk:
+                groups.append(("B", chunk))
+                chunk = []
+            i_run.append((idx, blob))
+            continue
+        if i_run:
+            groups.append(("I", i_run))
+            i_run = []
+        same_chunk = (
+            chunk
+            and len(chunk) < (seq.max_batch or 8)
+            and (idx // window) == (chunk[0][0] // window)
+            and level_of[idx - (idx // gop) * gop]
+            == level_of[chunk[0][0] - (chunk[0][0] // gop) * gop]
+        )
+        if not same_chunk:
+            if chunk:
+                groups.append(("B", chunk))
+            chunk = []
+        chunk.append((idx, blob))
+    if i_run:
+        groups.append(("I", i_run))
+    if chunk:
+        groups.append(("B", chunk))
+
+    # … then walk them with the entropy decode PIPELINED for the
+    # hyperprior families: a B chunk's rANS + index-fetch phases are
+    # reference-independent, so they are submitted up to `lookahead`
+    # chunks ahead on worker threads while the device tail of earlier
+    # chunks runs (bounded lookahead keeps HBM use flat on 600-frame
+    # sequences). v3/v4 conditional bottlenecks need the references for
+    # their entropy parameters, so they keep the synchronous flush.
+    pipelined = hasattr(coder, "decode_level_batch_async")
+    lookahead = 4
+    pending: dict[int, object] = {}
+
+    def submit_ahead(start):
+        for j in range(start, min(start + lookahead, len(groups))):
+            typ, recs = groups[j]
+            if typ == "B" and j not in pending:
+                bits = [frame_cls.deserialize(blob) for _, blob in recs]
+                pending[j] = coder.decode_level_batch_async(bits)
+
     # Decode graphs trace under the encoder's recorded compute policy.
     with policy_from_name("bfloat16" if seq.dtype == 1 else "float32"):
-        for ftyp, idx, blob in seq.frames:
-            if ftyp == "I":
-                flush(chunk)
-                chunk = []
-                i_run.append((idx, blob))
+        for j, (typ, recs) in enumerate(groups):
+            if typ == "I":
+                flush_i(recs)
                 continue
-            flush_i(i_run)
-            i_run = []
-            same_chunk = (
-                chunk
-                and len(chunk) < (seq.max_batch or 8)
-                and (idx // window) == (chunk[0][0] // window)
-                and level_of[idx - (idx // gop) * gop]
-                == level_of[chunk[0][0] - (chunk[0][0] // gop) * gop]
-            )
-            if not same_chunk:
-                flush(chunk)
-                chunk = []
-            chunk.append((idx, blob))
-        flush_i(i_run)
-        flush(chunk)
+            if pipelined:
+                submit_ahead(j)
+                flush(recs, pending.pop(j))
+            else:
+                flush(recs)
 
     os.makedirs(args.out_dir, exist_ok=True)
     psnrs = []

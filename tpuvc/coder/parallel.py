@@ -33,10 +33,17 @@ _ASYNC_POOL: ThreadPoolExecutor | None = None
 
 
 def async_pool() -> ThreadPoolExecutor:
-    """Separate pool for the encode-side async host phases (symbol fetch +
-    stream packing). Distinct from host_pool so a host phase that fans out
-    into parallel_map cannot deadlock waiting for workers of its own pool."""
+    """Separate pool for the enc/dec async host phases (symbol fetches +
+    rANS coding + device dispatch of the entropy-parameter graphs).
+    Distinct from host_pool so a host phase that fans out into
+    parallel_map cannot deadlock waiting for workers of its own pool.
+    Workers spend their time in GIL-released C calls and D2H fetches, so
+    a few of them overlap several chunks' host phases against the device
+    work the main thread keeps dispatching (TPUVC_ASYNC_WORKERS
+    overrides; decode-side pipelining wants >2 in flight)."""
     global _ASYNC_POOL
     if _ASYNC_POOL is None:
-        _ASYNC_POOL = ThreadPoolExecutor(max_workers=2)
+        _ASYNC_POOL = ThreadPoolExecutor(
+            max_workers=int(os.environ.get("TPUVC_ASYNC_WORKERS", "4"))
+        )
     return _ASYNC_POOL

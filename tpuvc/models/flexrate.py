@@ -401,6 +401,15 @@ class GainedHyperpriorCoder:
         )
         return jnp.asarray(y_sym).astype(jnp.float32) + means
 
+    def decompress_batch_async(self, strings: list, shape, n: int,
+                               l: float = 1.0):
+        """decompress_batch on a worker thread -> Future[y_hat]; see
+        HyperpriorCoder.decompress_batch_async (the gained entropy decode
+        is equally reference-independent)."""
+        from tpuvc.coder.parallel import async_pool
+
+        return async_pool().submit(self.decompress_batch, strings, shape, n, l)
+
     def decompress(self, strings, shape, n: int, l: float = 1.0, batch: int = 1):
         from tpuvc.coder import decode_with_indexes
 
@@ -606,20 +615,32 @@ class FlexRateCoder:
         )
         return resolve(), x_hat
 
-    def decode_level_batch(self, x_before, x_after, bitstreams):
-        if self.shard is not None:
-            x_before, x_after = self.shard((x_before, x_after))
+    def decode_level_batch_async(self, bitstreams):
+        """One level's entropy decode submitted NOW, ref-dependent device
+        tail deferred to ``resolve(x_before, x_after)`` — see
+        LHBDCCoder.decode_level_batch_async."""
         n, l = self.parse_rate_id(bitstreams[0].rate_id)
-        flow_y_hat = self.flow_coder.decompress_batch(
+        flow_f = self.flow_coder.decompress_batch_async(
             [(b.mv_y, b.mv_z) for b in bitstreams],
             bitstreams[0].mv_shape, n, l,
         )
-        x_comp = self._predict_batch(x_before, x_after, flow_y_hat, n, l)
-        res_y_hat = self.res_coder.decompress_batch(
+        res_f = self.res_coder.decompress_batch_async(
             [(b.res_y, b.res_z) for b in bitstreams],
             bitstreams[0].res_shape, n, l,
         )
-        return x_comp + self.res_coder.synthesize(res_y_hat, n, l)
+
+        def resolve(x_before, x_after):
+            if self.shard is not None:
+                x_before, x_after = self.shard((x_before, x_after))
+            x_comp = self._predict_batch(
+                x_before, x_after, flow_f.result(), n, l
+            )
+            return x_comp + self.res_coder.synthesize(res_f.result(), n, l)
+
+        return resolve
+
+    def decode_level_batch(self, x_before, x_after, bitstreams):
+        return self.decode_level_batch_async(bitstreams)(x_before, x_after)
 
     @staticmethod
     def parse_rate_id(rate_id: int) -> tuple[int, float]:

@@ -350,6 +350,22 @@ class HyperpriorCoder:
         )
         return jnp.asarray(y_sym).astype(jnp.float32) + means
 
+    def decompress_batch_async(self, strings: list, shape):
+        """decompress_batch on a worker thread -> Future[y_hat].
+
+        The decode-side mirror of compress_batch_async (VERDICT r3 task
+        #4): a hyperprior's entropy decode is REFERENCE-INDEPENDENT — z
+        comes off the stream, the entropy parameters come from h_s(z_hat),
+        and the y rANS decode needs only those — so every level's host
+        phases (rANS + the ~100 ms D2H index fetch through a slow relay)
+        can run ahead on workers while the device chain (flow estimation,
+        compensation, synthesis — the only parts that need the previous
+        level's reconstructions) streams on the main thread. Same graphs,
+        same placement as decompress_batch: streams stay bit-identical."""
+        from tpuvc.coder.parallel import async_pool
+
+        return async_pool().submit(self.decompress_batch, strings, shape)
+
     def decompress(self, strings, shape, batch: int = 1) -> jnp.ndarray:
         from tpuvc.coder import decode_with_indexes
 

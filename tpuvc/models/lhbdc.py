@@ -384,16 +384,33 @@ class LHBDCCoder:
         )
         return resolve(), x_hat
 
-    def decode_level_batch(self, x_before, x_after, bitstreams):
-        """Batched decode of one hierarchy level's frames (inverse of
-        encode_level_batch; same B-shaped graphs)."""
-        if self.shard is not None:
-            x_before, x_after = self.shard((x_before, x_after))
-        mv_y_hat = self.mv_coder.decompress_batch(
+    def decode_level_batch_async(self, bitstreams):
+        """Kick off one level's entropy decode NOW (reference-independent:
+        host rANS + entropy-parameter graphs on workers) and return
+        ``resolve(x_before, x_after)``, which runs the ref-dependent device
+        tail (flow re-estimation, compensation, residual synthesis). A
+        decode driver submits EVERY level's streams up front, then walks
+        the hierarchy calling resolve as reconstructions become available
+        — the host phases of later levels hide behind the device work of
+        earlier ones, mirroring encode_level_batch_async (VERDICT r3 task
+        #4; decode had serialized host-rANS -> upload -> synthesis)."""
+        mv_f = self.mv_coder.decompress_batch_async(
             [(b.mv_y, b.mv_z) for b in bitstreams], bitstreams[0].mv_shape
         )
-        x_pred = self._predict_batch(x_before, x_after, mv_y_hat)
-        res_y_hat = self.res_coder.decompress_batch(
+        res_f = self.res_coder.decompress_batch_async(
             [(b.res_y, b.res_z) for b in bitstreams], bitstreams[0].res_shape
         )
-        return x_pred + self.res_coder.synthesize(res_y_hat)
+
+        def resolve(x_before, x_after):
+            if self.shard is not None:
+                x_before, x_after = self.shard((x_before, x_after))
+            x_pred = self._predict_batch(x_before, x_after, mv_f.result())
+            return x_pred + self.res_coder.synthesize(res_f.result())
+
+        return resolve
+
+    def decode_level_batch(self, x_before, x_after, bitstreams):
+        """Batched decode of one hierarchy level's frames (inverse of
+        encode_level_batch; same B-shaped graphs). Blocking wrapper of
+        decode_level_batch_async."""
+        return self.decode_level_batch_async(bitstreams)(x_before, x_after)

@@ -35,9 +35,21 @@ full horizontal variation and made trained-offset cost unbounded
 Semantics: torchvision zero padding outside the frame — the wrapper adds a
 1-px zero ring and border-clamps onto it (same trick as
 tpuvc.ops.deform._warp_zero_pallas). Exactness domain per band: union row
-spread within the ROWS_WINDOW margin and <= LOCAL_H - 2 per
+spread within the (rows_window - band_rows) margin and <= LOCAL_H - 2 per
 (row-group x lane-tile) patch, dx spread <= 126 px; beyond it sampling
 clamps to the window edge.
+
+Channel layout (round 4): the kernel reads PLANAR (B, C, H, W) windows —
+one 3-D DMA per band fills the per-channel planes directly — instead of
+the r3 design's interleaved (B, H, W*C) window + per-channel one-hot MXU
+de-interleave matmuls (O(C^2) in FLOPs, serial with the walk). The NHWC <->
+planar transposes fold into the group-major relayout the wrapper already
+performs in XLA. This also lifts the channel cap to 16, which removes the
+nc=2 chunk duplication (double setup + window DMA per band) the v4 L2/L3
+and v3 L3 shapes paid. Band geometry is chosen per call: 64-row bands with
+a 160-row window where the frame allows (same 96-row spread margin as the
+r3 32/128 geometry at ~40% less window DMA per output row and half the
+per-band fixed cost).
 
 Used by tpuvc.ops.deform.deform_conv2d on TPU for Cg <= MAX_CHANNELS and
 Og <= MAX_OUT; the XLA gather path remains the fallback and the VJP
@@ -56,8 +68,6 @@ from jax.experimental.pallas import tpu as pltpu
 from tpuvc.ops.warp_pallas import (
     TILE_L,
     TILE_S,
-    _deinterleave_matrix,
-    _interleave_matrix,
     _lane_gather,
     _round_up,
 )
@@ -65,9 +75,8 @@ from tpuvc.ops.warp_pallas import (
 LOCAL_H = 40   # per-row-group union vertical reach cap (j-loop bound;
                # matches warp_pallas so truncation behavior is identical)
 LOCAL_W = 384  # local window cols: 128 output + 128 slack + dx spread
-BAND_ROWS = 32
-ROWS_WINDOW = 128
-MAX_CHANNELS = 8
+SPREAD_MARGIN = 96  # rows_window - band_rows (row-spread slack per band)
+MAX_CHANNELS = 16
 MAX_OUT = 8
 MAX_TAPS = 9
 
@@ -80,23 +89,23 @@ def _deform_band_kernel(
     taps: int,
     rw: int,
     ng: int,
+    br: int,       # band rows (output rows per grid step)
     wt_ref,        # SMEM (ng*taps*ch*og,): weights, batch item b uses
                    # weight group b % ng at ((g*taps + t)*ch + c)*og + o
-    img_hbm,       # (B, H, W*ch) ANY
-    tap_ref,       # (1, 1, taps, 3, BAND_ROWS, W) VMEM: dy, dx, mask planes
-    out_ref,       # (1, BAND_ROWS, W*og) VMEM
-    win_i,         # (rw, W*ch) VMEM scratch (interleaved window)
-    win_c,         # (ch*rw, W) VMEM scratch (de-interleaved planes)
-    res_s,         # (og*BAND_ROWS, W) VMEM scratch (pre-interleave output)
-    rloc_s,        # (taps*BAND_ROWS, W) int32 scratch: window-relative
+    img_hbm,       # (B, ch, H, W) ANY — planar channel layout
+    tap_ref,       # (1, 1, taps, 3, br, W) VMEM: dy, dx, mask planes
+    out_ref,       # (1, og, br, W) VMEM — planar output
+    win_c,         # (ch, rw, W) VMEM scratch (per-channel window planes)
+    res_s,         # (og*br, W) VMEM scratch (planar output accumulators)
+    rloc_s,        # (taps*br, W) int32 scratch: window-relative
                    # diagonal row coords, GROUP-MAJOR — the (g, t) strip
                    # lives at rows (g*taps + t)*TILE_S so one (g, tile)
                    # union reduce covers a contiguous (taps*TILE_S, TILE_L)
                    # block (per-tile walk ranges, see below)
-    xloc_s,        # (taps*BAND_ROWS, W) int32 scratch (window col coords,
+    xloc_s,        # (taps*br, W) int32 scratch (window col coords,
                    # group-major like rloc_s)
-    fx_s,          # (taps*BAND_ROWS, W) f32 scratch (group-major)
-    fy_s,          # (taps*BAND_ROWS, W) f32 scratch (group-major)
+    fx_s,          # (taps*br, W) f32 scratch (group-major)
+    fy_s,          # (taps*br, W) f32 scratch (group-major)
     rys_s,         # SMEM (n_s*n_l,): per-(group, tile) union row start
     jhi_s,         # SMEM (n_s*n_l,): per-(group, tile) j-loop bound
     tjlo_s,        # SMEM (n_s*taps*n_l,): per-(group, tap, tile) first
@@ -112,7 +121,7 @@ def _deform_band_kernel(
     b = pl.program_id(0)
     band = pl.program_id(1)
     wg = b % ng  # weight group (batch is group-minor folded)
-    n_s = BAND_ROWS // TILE_S
+    n_s = br // TILE_S
     n_l = w // TILE_L
     lw = min(LOCAL_W, w)
     lh = min(LOCAL_H, rw)
@@ -125,10 +134,10 @@ def _deform_band_kernel(
         (t may be traced, g is static)."""
         return pl.ds((g * taps + t) * TILE_S, TILE_S)
 
-    rows = jax.lax.broadcasted_iota(jnp.int32, (BAND_ROWS, w), 0).astype(
+    rows = jax.lax.broadcasted_iota(jnp.int32, (br, w), 0).astype(
         jnp.float32
     )
-    icols = jax.lax.broadcasted_iota(jnp.int32, (BAND_ROWS, w), 1)
+    icols = jax.lax.broadcasted_iota(jnp.int32, (br, w), 1)
 
     # Taps, channels, and re-interleave tiles run as lax.fori_loops with
     # dynamic ref slices, NOT unrolled Python loops: the v4 codec carries
@@ -141,7 +150,7 @@ def _deform_band_kernel(
     # --- per-tap sampling indices; window bounds are unions over taps ---
     def setup_tap(t, carry):
         ymin, xrel_min = carry
-        y = rows + band * BAND_ROWS + tap_plane(t, 0)
+        y = rows + band * br + tap_plane(t, 0)
         x = icols.astype(jnp.float32) + tap_plane(t, 1)
         y = jnp.clip(y, 0.0, h - 1.0)
         x = jnp.clip(x, 0.0, w - 1.0)
@@ -163,8 +172,8 @@ def _deform_band_kernel(
     ymin, xrel_min = jax.lax.fori_loop(
         0, taps, setup_tap,
         (
-            jnp.full((BAND_ROWS, w), float(h), jnp.float32),
-            jnp.full((BAND_ROWS, w), 2**30, jnp.int32),
+            jnp.full((br, w), float(h), jnp.float32),
+            jnp.full((br, w), 2**30, jnp.int32),
         ),
     )
 
@@ -254,27 +263,36 @@ def _deform_band_kernel(
             rys_s[gl] = ry_gt
             jhi_s[gl] = jnp.minimum(jhi_s[gl] - ry_gt + 2, lh)
 
-    # --- window DMA ---
+    # Rebase the per-tap row coords and gate bounds onto each tile's walk
+    # ONCE (r4): the r3 kernel re-did these clips inside the walk — per
+    # (j, tap, channel) for the coords, i.e. ~ch*jhi times per value — and
+    # the walk is the kernel's hot loop. Blocks are disjoint per
+    # (g, t, tile), so the in-place rewrite is safe.
+    def rebase_tap(t, _):
+        for g in range(n_s):
+            sl = strip(t, g)
+            for tl in range(n_l):
+                lsl = slice(tl * TILE_L, (tl + 1) * TILE_L)
+                gl = g * n_l + tl
+                ry = rys_s[gl]
+                rloc_s[sl, lsl] = jnp.clip(
+                    rloc_s[sl, lsl] - ry, 0, lh - 2
+                )
+                gt = (g * taps + t) * n_l + tl
+                tjlo_s[gt] = jnp.clip(tjlo_s[gt] - ry, 0, lh - 2)
+                tjhi_s[gt] = jnp.clip(tjhi_s[gt] - 1 - ry, 0, lh - 2) + 1
+        return 0
+
+    jax.lax.fori_loop(0, taps, rebase_tap, 0)
+
+    # --- window DMA: one planar (ch, rw, W) block, channels land directly
+    # in their per-channel planes (no de-interleave stage) ---
     copy = pltpu.make_async_copy(
-        img_hbm.at[b, pl.ds(pl.multiple_of(rlo_s[0], 8), rw), :], win_i, sem
+        img_hbm.at[b, :, pl.ds(pl.multiple_of(rlo_s[0], 8), rw), :],
+        win_c, sem,
     )
     copy.start()
     copy.wait()
-
-    # --- de-interleave every channel once (shared by all taps) ---
-    def deint_chan(c, _):
-        P = _deinterleave_matrix(ch, c)  # iota compares: c may be traced
-        for tl in range(n_l):
-            slab = win_i[:, ch * tl * TILE_L : ch * (tl + 1) * TILE_L]
-            win_c[
-                pl.ds(c * rw, rw), tl * TILE_L : (tl + 1) * TILE_L
-            ] = jnp.dot(
-                slab, P, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-        return 0
-
-    jax.lax.fori_loop(0, ch, deint_chan, 0)
 
     qdx_v = rlo_s[1]
 
@@ -284,27 +302,29 @@ def _deform_band_kernel(
         )
 
     # --- one union slab walk per (group, channel, tile), all taps fused ---
-    res_s[...] = jnp.zeros((og * BAND_ROWS, w), jnp.float32)
+    res_s[...] = jnp.zeros((og * br, w), jnp.float32)
     for g in range(n_s):
 
         def chan_body(c, _, g=g):
-            base = c * rw
+            def crow(r, rx):
+                """One window row of channel c (traced), (1, lw)."""
+                return win_c[
+                    pl.ds(c, 1), pl.ds(r, 1), pl.ds(rx, lw)
+                ].reshape(1, lw)
+
             for tl in range(n_l):
                 lsl = slice(tl * TILE_L, (tl + 1) * TILE_L)
                 rx = tile_rx(tl)
                 ry = rys_s[g * n_l + tl]
                 init_slab = jnp.concatenate(
-                    [
-                        win_c[pl.ds(base + ry + s, 1), pl.ds(rx, lw)]
-                        for s in range(TILE_S)
-                    ],
+                    [crow(ry + s, rx) for s in range(TILE_S)],
                     axis=0,
                 )
                 zero = jnp.zeros((TILE_S, TILE_L), jnp.float32)
 
                 interior = 1 <= tl <= n_l - 2
 
-                def j_body(j, carry, g=g, c=c, base=base, ry=ry, rx=rx,
+                def j_body(j, carry, g=g, c=c, ry=ry, rx=rx,
                            lsl=lsl, interior=interior):
                     accs, slab = carry
 
@@ -347,13 +367,10 @@ def _deform_band_kernel(
                                 g0, g1 = pair_general()
                             fx_t = fx_s[sl, lsl]
                             fy_t = fy_s[sl, lsl]
-                            # rloc is window-relative; rebase onto this
-                            # tile's walk and clip into its range (rows
-                            # beyond the LOCAL_H cap truncate to the walk
-                            # edge, as before — now per tile).
-                            rl = jnp.clip(
-                                rloc_s[sl, lsl] - ry, 0, lh - 2
-                            )
+                            # rloc was rebased onto this tile's walk (and
+                            # clipped to the LOCAL_H truncation edge) in
+                            # the one-time rebase pass.
+                            rl = rloc_s[sl, lsl]
                             c_row = (1.0 - fx_t) * g0 + fx_t * g1
                             hit = (
                                 (rl == j).astype(jnp.float32) * (1.0 - fy_t)
@@ -372,25 +389,20 @@ def _deform_band_kernel(
 
                         # Skip the gathers when this walk step is outside
                         # the tap's own per-tile [min, max+1] hit range
-                        # (computed window-relative in tap_ranges; rebased
-                        # + clipped onto this tile's walk here).
+                        # (rebased onto this tile's walk in the one-time
+                        # rebase pass).
                         gt = (g * taps + t) * n_l + tl
-                        jlo = jnp.clip(tjlo_s[gt] - ry, 0, lh - 2)
-                        jhi_t = (
-                            jnp.clip(tjhi_s[gt] - 1 - ry, 0, lh - 2) + 1
-                        )
                         return jax.lax.cond(
-                            (j >= jlo) & (j <= jhi_t),
+                            (j >= tjlo_s[gt]) & (j <= tjhi_s[gt]),
                             active,
                             lambda accs: accs,
                             accs,
                         )
 
                     accs = jax.lax.fori_loop(0, taps, tap_body, accs)
-                    row_new = win_c[
-                        pl.ds(base + ry + j + TILE_S, 1), pl.ds(rx, lw)
-                    ]
-                    slab = jnp.concatenate([slab[1:], row_new], axis=0)
+                    slab = jnp.concatenate(
+                        [slab[1:], crow(ry + j + TILE_S, rx)], axis=0
+                    )
                     return (accs, slab)
 
                 accs, _ = jax.lax.fori_loop(
@@ -398,48 +410,42 @@ def _deform_band_kernel(
                     (tuple(zero for _ in range(og)), init_slab),
                 )
                 for o in range(og):
-                    osl = pl.ds(o * BAND_ROWS + g * TILE_S, TILE_S)
+                    osl = pl.ds(o * br + g * TILE_S, TILE_S)
                     res_s[osl, lsl] = res_s[osl, lsl] + accs[o]
             return 0
 
         jax.lax.fori_loop(0, ch, chan_body, 0)
 
-    # --- re-interleave: out[y, x*og + o] = res_s[o*BAND + y, x] ---
-    sw = min(2 * TILE_L, w)
-    n_lo = max(n_l - 2, 0)
-
-    def reint_tile(T, _):
-        t_lo = jnp.minimum((T * TILE_L) // og // TILE_L, n_lo)
-        acc = jnp.zeros((BAND_ROWS, TILE_L), jnp.float32)
-        for o in range(og):
-            Q = _interleave_matrix(og, o, T, t_lo * TILE_L, sw)
-            slab = res_s[
-                o * BAND_ROWS : (o + 1) * BAND_ROWS,
-                pl.ds(t_lo * TILE_L, sw),
-            ]
-            acc = acc + jnp.dot(
-                slab, Q, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-        out_ref[0, :, pl.ds(T * TILE_L, TILE_L)] = acc
-        return 0
-
-    jax.lax.fori_loop(0, w * og // TILE_L, reint_tile, 0)
+    # --- planar output: out[o] = res_s[o*br : (o+1)*br] (VMEM copies; the
+    # wrapper's XLA transpose restores NHWC) ---
+    for o in range(og):
+        out_ref[0, o] = res_s[o * br : (o + 1) * br, :]
 
 
-def _deform_pallas_nhwc(img3, off, wt, ch: int, og: int, ng: int,
-                        interpret: bool = False):
-    """img3 (B, H, W*ch) flat NHWC view; off (B, n_bands, T, 3, BAND_ROWS, W)
-    band-major dy/dx/mask planes; wt (ng*T*ch*og,) flat weights (batch item b
-    uses group b % ng). H multiple of BAND_ROWS, W multiple of TILE_L.
-    Returns (B, H, W*og)."""
-    B, H, WC = img3.shape
-    W = WC // ch
+def band_geometry(H: int) -> tuple[int, int]:
+    """(band_rows, rows_window) for a padded frame height.
+
+    64-row bands halve the per-band fixed cost (setup reduces, DMA issue,
+    grid overhead) and cut window DMA per output row by ~40%; the window
+    keeps the same SPREAD_MARGIN of row-spread slack the r3 32/128
+    geometry had, so the truncation (exactness) domain is unchanged.
+    Frames shorter than 128 rows keep 32-row bands — less pad waste."""
+    br = 64 if H >= 128 else 32
+    return br, br + SPREAD_MARGIN
+
+
+def _deform_pallas_planar(imgp, off, wt, ch: int, og: int, ng: int,
+                          br: int, interpret: bool = False):
+    """imgp (B, ch, H, W) planar channel planes; off (B, n_bands, T, 3,
+    br, W) band-major dy/dx/mask planes; wt (ng*T*ch*og,) flat weights
+    (batch item b uses group b % ng). H multiple of br, W multiple of
+    TILE_L. Returns (B, og, H, W) planar."""
+    B, _, H, W = imgp.shape
     T = off.shape[2]
-    rw = min(ROWS_WINDOW, H)
-    n_bands = H // BAND_ROWS
+    rw = min(br + SPREAD_MARGIN, H)
+    n_bands = H // br
     kernel = functools.partial(
-        _deform_band_kernel, H, W, ch, og, T, rw, ng
+        _deform_band_kernel, H, W, ch, og, T, rw, ng, br
     )
     return pl.pallas_call(
         kernel,
@@ -448,51 +454,50 @@ def _deform_pallas_nhwc(img3, off, wt, ch: int, og: int, ng: int,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
-                (1, 1, T, 3, BAND_ROWS, W),
+                (1, 1, T, 3, br, W),
                 lambda b, n: (b, n, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, BAND_ROWS, W * og), lambda b, n: (b, n, 0),
+            (1, og, br, W), lambda b, n: (b, 0, n, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, H, W * og), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, og, H, W), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((rw, WC), jnp.float32),            # win_i
-            pltpu.VMEM((ch * rw, W), jnp.float32),        # win_c
-            pltpu.VMEM((og * BAND_ROWS, W), jnp.float32),  # res
-            pltpu.VMEM((T * BAND_ROWS, W), jnp.int32),    # rloc
-            pltpu.VMEM((T * BAND_ROWS, W), jnp.int32),    # xloc
-            pltpu.VMEM((T * BAND_ROWS, W), jnp.float32),  # fx
-            pltpu.VMEM((T * BAND_ROWS, W), jnp.float32),  # fy
+            pltpu.VMEM((ch, rw, W), jnp.float32),   # win_c (planar window)
+            pltpu.VMEM((og * br, W), jnp.float32),  # res
+            pltpu.VMEM((T * br, W), jnp.int32),     # rloc
+            pltpu.VMEM((T * br, W), jnp.int32),     # xloc
+            pltpu.VMEM((T * br, W), jnp.float32),   # fx
+            pltpu.VMEM((T * br, W), jnp.float32),   # fy
             pltpu.SMEM(
-                (BAND_ROWS // TILE_S * (W // TILE_L),), jnp.int32
+                (br // TILE_S * (W // TILE_L),), jnp.int32
             ),  # rys (per group x lane tile)
             pltpu.SMEM(
-                (BAND_ROWS // TILE_S * (W // TILE_L),), jnp.int32
+                (br // TILE_S * (W // TILE_L),), jnp.int32
             ),  # jhi (per group x lane tile)
             pltpu.SMEM(
-                (BAND_ROWS // TILE_S * T * (W // TILE_L),), jnp.int32
+                (br // TILE_S * T * (W // TILE_L),), jnp.int32
             ),  # tjlo (per group x tap x lane tile)
             pltpu.SMEM(
-                (BAND_ROWS // TILE_S * T * (W // TILE_L),), jnp.int32
+                (br // TILE_S * T * (W // TILE_L),), jnp.int32
             ),  # tjhi (per group x tap x lane tile)
             pltpu.SMEM(
-                (BAND_ROWS // TILE_S * T * (W // TILE_L),), jnp.int32
+                (br // TILE_S * T * (W // TILE_L),), jnp.int32
             ),  # kuni (per group x tap x lane tile)
-            pltpu.SMEM((2,), jnp.int32),                  # r_lo, qdx
+            pltpu.SMEM((2,), jnp.int32),            # r_lo, qdx
             pltpu.SemaphoreType.DMA,
         ],
         # The default 16MB scoped-vmem ceiling counts double-buffered blocks
         # plus opaque per-config overheads and rejects some codec shapes by
-        # a few hundred KB; v5e's physical VMEM comfortably covers the ~15MB
-        # of scratch this kernel declares.
+        # a few hundred KB; v5e's physical VMEM comfortably covers the
+        # ~20-36MB of scratch this kernel declares at its largest shapes.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024
+            vmem_limit_bytes=96 * 1024 * 1024
         ),
         interpret=interpret,
-    )(wt, img3, off)
+    )(wt, imgp, off)
 
 
 def deform_sample_accum(
@@ -526,7 +531,8 @@ def deform_sample_accum(
     ZR = 1
     TOP = TILE_S
     Hz, Wz = H + 2 * ZR, W + 2 * ZR
-    Hp = _round_up(Hz + TOP + TILE_S + 2, BAND_ROWS)
+    br, _ = band_geometry(Hz + TOP + TILE_S + 2)
+    Hp = _round_up(Hz + TOP + TILE_S + 2, br)
     Wp = _round_up(max(Wz, TILE_L), TILE_L)
     img_p = jnp.pad(img, ((0, 0), (ZR, ZR), (ZR, ZR), (0, 0)))
     img_p = jnp.pad(
@@ -550,12 +556,16 @@ def deform_sample_accum(
         [pad_plane(dy), pad_plane(dx), pad_plane(masks)], axis=2
     ).astype(jnp.float32)  # (B, T, 3, Hp, Wp)
     # band-major layout so each band's planes are one contiguous VMEM block
-    off = off.reshape(B, T, 3, Hp // BAND_ROWS, BAND_ROWS, Wp).transpose(
+    off = off.reshape(B, T, 3, Hp // br, br, Wp).transpose(
         0, 3, 1, 2, 4, 5
-    )  # (B, n_bands, T, 3, BAND_ROWS, Wp)
+    )  # (B, n_bands, T, 3, br, Wp)
 
-    img3 = img_p.reshape(B, Hp, Wp * C).astype(jnp.float32)
+    # Planar channel planes; the transpose runs in XLA next to the group-
+    # major relayout tpuvc.ops.deform already performs.
+    imgp = img_p.transpose(0, 3, 1, 2).astype(jnp.float32)
     wt = weights.reshape(-1).astype(jnp.float32)
-    out = _deform_pallas_nhwc(img3, off, wt, C, Og, G, interpret=interpret)
-    out = out.reshape(B, Hp, Wp, Og)
+    out = _deform_pallas_planar(
+        imgp, off, wt, C, Og, G, br, interpret=interpret
+    )
+    out = out.transpose(0, 2, 3, 1)  # (B, Hp, Wp, Og)
     return out[:, TOP + ZR : TOP + ZR + H, ZR : ZR + W, :]
