@@ -151,29 +151,39 @@ def main():
         decoded = dict(anchors)
         stream_of = dict(out_bits)
         outs = {}
-        # Phase A: submit EVERY level's entropy decode up front — it is
-        # reference-independent (z off the stream -> h_s params -> y rANS),
-        # so the host phases of later levels overlap the device tail
-        # (flow/compensation/synthesis) of earlier ones.
-        plan = []
-        for abs_frames in levels_abs:
-            for chunk, nr in chunks_padded(abs_frames):
-                parsed = [
-                    BFrameBitstream.deserialize(stream_of[f].serialize())
-                    for f in chunk
-                ]
-                plan.append(
-                    (chunk, nr, coder.decode_level_batch_async(parsed))
-                )
-        # Phase B: the ref-dependent device walk in hierarchy order.
-        for chunk, nr, resolve in plan:
+        # The entropy decode is reference-independent (z off the stream ->
+        # h_s params -> y rANS), so each chunk's host phases are submitted
+        # up to `lookahead` chunks ahead of the ref-dependent device tail
+        # (flow/compensation/synthesis) — bounded so pinned latents don't
+        # exhaust HBM (the full 8-chunk window of pre-staged mv+res
+        # latents at 1080p did).
+        plan = [
+            (chunk, nr)
+            for abs_frames in levels_abs
+            for chunk, nr in chunks_padded(abs_frames)
+        ]
+        lookahead = 3
+        pending = {}
+
+        def submit_to(k):
+            for j in range(k + 1):
+                if j < len(plan) and j not in pending:
+                    chunk, _ = plan[j]
+                    parsed = [
+                        BFrameBitstream.deserialize(stream_of[f].serialize())
+                        for f in chunk
+                    ]
+                    pending[j] = coder.decode_level_batch_async(parsed)
+
+        for i, (chunk, nr) in enumerate(plan):
+            submit_to(i + lookahead)
             refs = [refs_of(f) for f in chunk]
             xb = jnp.concatenate([decoded[a] for a, _ in refs], axis=0)
             xa = jnp.concatenate([decoded[b] for _, b in refs], axis=0)
-            x_hat = resolve(xb, xa)
-            for i, f in enumerate(chunk[:nr]):
-                decoded[f] = x_hat[i : i + 1]
-                outs[f] = x_hat[i : i + 1]
+            x_hat = pending.pop(i)(xb, xa)
+            for k, f in enumerate(chunk[:nr]):
+                decoded[f] = x_hat[k : k + 1]
+                outs[f] = x_hat[k : k + 1]
         return outs
 
     warm_bits, warm_recons = code_window()  # load/compile encode graphs
@@ -230,41 +240,57 @@ def main():
     # r1/r2-comparable configuration (cross-GOP G=2, max_batch=8, shapes
     # 2/4/8: PERF.md ledger #3), so the number stays apples-to-apples
     # across rounds. Warms 3 shapes of ONE graph; runs only if budget
-    # remains after the headline.
+    # remains after the headline. Release the coding phase's device
+    # buffers first (33 decoded frames x 2 dicts + staged latents): the
+    # batch-8 eval graph's temps would otherwise exhaust HBM. Never fatal
+    # — the headline JSON above is the record either way.
+    del warm_recons, dec_out, warm_bits
+    import gc
+
+    gc.collect()
     if _remaining() > 120.0:
-        from tpuvc.gop.scheduler import code_gops_batched
+        try:
+            from tpuvc.gop.scheduler import code_gops_batched
 
-        @jax.jit
-        def forward(v, r1, r2, xc):
-            with mixed_precision():
-                out = model.apply(v, r1, xc, r2, "dequantize")
-            return out["x_hat"], out["sizes"]
+            @jax.jit
+            def forward(v, r1, r2, xc):
+                with mixed_precision():
+                    out = model.apply(v, r1, xc, r2, "dequantize")
+                return out["x_hat"], out["sizes"]
 
-        def inter_fn(r1, r2, xcur, idxs, refs):
-            return forward(variables, r1, r2, xcur)
+            def inter_fn(r1, r2, xcur, idxs, refs):
+                return forward(variables, r1, r2, xcur)
 
-        frames_w = slot
-        code_gops_batched(
-            frames_w, anchors, table16, inter_fn, starts, max_batch=8
-        )  # warm
-        ewin = 0
-        dt = 0.0
-        total_bits = 0.0
-        while ewin < 2 and (ewin == 0 or _remaining() > 1.3 * dt / ewin):
-            t0 = time.perf_counter()
-            _, sizes = code_gops_batched(
+            frames_w = slot
+            code_gops_batched(
                 frames_w, anchors, table16, inter_fn, starts, max_batch=8
+            )  # warm
+            ewin = 0
+            dt = 0.0
+            total_bits = 0.0
+            while ewin < 2 and (ewin == 0 or _remaining() > 1.3 * dt / ewin):
+                t0 = time.perf_counter()
+                _, sizes = code_gops_batched(
+                    frames_w, anchors, table16, inter_fn, starts,
+                    max_batch=8,
+                )
+                total_bits += sum(sizes.values())
+                dt += time.perf_counter() - t0
+                ewin += 1
+            assert total_bits > 0
+            _emit(
+                payload(
+                    t_enc, t_dec, nwin, total_bytes,
+                    extra={"eval_fps": round(ewin * n_real / dt, 3)},
+                )
             )
-            total_bits += sum(sizes.values())
-            dt += time.perf_counter() - t0
-            ewin += 1
-        assert total_bits > 0
-        _emit(
-            payload(
-                t_enc, t_dec, nwin, total_bytes,
-                extra={"eval_fps": round(ewin * n_real / dt, 3)},
+        except Exception as e:  # noqa: BLE001 — extra metric only
+            _emit(
+                payload(
+                    t_enc, t_dec, nwin, total_bytes,
+                    extra={"eval_fps_error": type(e).__name__},
+                )
             )
-        )
 
 
 if __name__ == "__main__":
