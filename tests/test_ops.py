@@ -183,6 +183,12 @@ class TestTransferPrimitives:
         dev = float(psnr_uint8(jnp.asarray(a), jnp.asarray(b)))
         host = psnr_uint8_np(a, b)
         assert abs(dev - host) < 1e-3
-        # uint8 input form agrees with the float form.
+        # uint8 input form agrees with the float form — for BOTH twins
+        # (the device version used to binarize uint8 inputs through its
+        # [0,1] clip; decode_b's printed PSNR was the casualty).
         a8 = np.round(a * 255).astype(np.uint8)
         assert abs(psnr_uint8_np(a8, b) - psnr_uint8_np(a, b)) < 1e-9
+        b8 = np.round(b * 255).astype(np.uint8)
+        assert abs(
+            float(psnr_uint8(jnp.asarray(a8), jnp.asarray(b8))) - host
+        ) < 1e-3

@@ -26,12 +26,20 @@ def psnr(mse_val, data_range: float = 1.0):
 
 
 def _round_uint8(x: jnp.ndarray) -> jnp.ndarray:
+    if x.dtype == jnp.uint8:
+        # Already in the uint8 domain — clipping against [0, 1] here would
+        # binarize the frame (the r4 decode_b PSNR-readout bug: the
+        # reconstruction was fine, the printed number was the PSNR of two
+        # near-binary masks).
+        return x.astype(jnp.float32)
     return jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0)
 
 
 def psnr_uint8(ref: jnp.ndarray, dec: jnp.ndarray) -> jnp.ndarray:
-    """PSNR between uint8-rounded frames (the reference protocol)."""
-    m = jnp.mean((_round_uint8(ref) - _round_uint8(dec)) ** 2)
+    """PSNR between uint8-rounded frames (the reference protocol).
+    Accepts [0, 1] floats or uint8 arrays, like psnr_uint8_np."""
+    m = jnp.mean((_round_uint8(jnp.asarray(ref)) -
+                  _round_uint8(jnp.asarray(dec))) ** 2)
     return psnr(m, data_range=255.0)
 
 
