@@ -27,6 +27,13 @@ Layout conversions:
     CDF buffers are dropped (rebuilt by ``FactorizedTables`` / update()).
 
 Entries that cannot be mapped are reported, never silently dropped.
+
+Numerics are PROVEN against the reference's own executed code, not just
+documented: tests/test_reference_parity.py runs the reference PyTorch
+models (via the tests/refshim compressai/torchvision shims) with random
+weights, imports the same state_dict through this module, and asserts
+stage-by-stage forward agreement for all four B-frame families (measured
+table in PARITY.md — x_hat <= 2e-5 abs, bit counts <= 1e-6 rel).
 """
 
 from __future__ import annotations
