@@ -51,6 +51,17 @@ a 160-row window where the frame allows (same 96-row spread margin as the
 r3 32/128 geometry at ~40% less window DMA per output row and half the
 per-band fixed cost).
 
+Row-uniform fast path (round 4b): when a (group, tap, 8 x 128 patch) has
+a CONSTANT integer sample row — exactly true for every tap at the
+zero-diversity floor (the integer 3 x 3 grid) and for most patches of a
+smooth trained offset field — the diagonal-frame coordinate is one
+scalar, so the tap is served by two contiguous block reads (an aligned
+16-row window read + one sublane roll) and a fy blend, and it is
+EXCLUDED from the walk's union range. An all-uniform patch skips the
+slab walk (init, per-j shifts, per-(j, tap) gating) entirely; mixed
+patches walk only the non-uniform remainder. Measured: 9-tap floor call
+at (544, 960, ch 8, og 4): 25.2 -> 16.8 ms.
+
 Used by tpuvc.ops.deform.deform_conv2d on TPU for Cg <= MAX_CHANNELS and
 Og <= MAX_OUT; the XLA gather path remains the fallback and the VJP
 (training runs on small crops where gathers are cheap).
@@ -115,6 +126,11 @@ def _deform_band_kernel(
     kuni_s,        # SMEM (n_s*taps*n_l,): per-(group, tap, tile)
                    # uniform-dx shift k, or -1 if that tile's window cols
                    # are not lane + k
+    runi_s,        # SMEM (n_s*taps*n_l,): per-(group, tap, tile)
+                   # row-uniform diag coord rr (window-relative), or -1:
+                   # when the tile's integer sample row is constant the
+                   # tap is computed by two direct block reads and SKIPS
+                   # the walk (and its union range) entirely
     rlo_s,         # SMEM (2,): window row start, quantized dx
     sem,
 ):
@@ -233,9 +249,23 @@ def _deform_band_kernel(
                 # [min, max+1].
                 tjlo_s[gt] = tmn
                 tjhi_s[gt] = tmx + 1
+                # Row-uniform fast path (round 4): constant integer
+                # sample row across the 8 x 128 patch — always true at
+                # the zero-diversity floor (integer tap grid) and for
+                # most tiles of a smooth trained offset field. The tap
+                # is served by two direct (TILE_S+1)-row block reads in
+                # the tap's own diag frame and EXCLUDED from the walk
+                # union, so an all-uniform tile skips the slab walk
+                # (init + shifts + per-j gating) completely.
+                runi = tmn == tmx
+                runi_s[gt] = jnp.where(runi, tmn, -1)
                 gl = g * n_l + tl
-                rys_s[gl] = jnp.minimum(rys_s[gl], tmn)
-                jhi_s[gl] = jnp.maximum(jhi_s[gl], tmx)
+                rys_s[gl] = jnp.minimum(
+                    rys_s[gl], jnp.where(runi, 2**30, tmn)
+                )
+                jhi_s[gl] = jnp.maximum(
+                    jhi_s[gl], jnp.where(runi, -(2**30), tmx)
+                )
                 # Uniform-dx detection per tile: when this strip's window
                 # cols equal lane + k for one constant k, the lane-gather
                 # pair in the tap body degenerates to a dynamic lane roll
@@ -279,8 +309,15 @@ def _deform_band_kernel(
                     rloc_s[sl, lsl] - ry, 0, lh - 2
                 )
                 gt = (g * taps + t) * n_l + tl
-                tjlo_s[gt] = jnp.clip(tjlo_s[gt] - ry, 0, lh - 2)
-                tjhi_s[gt] = jnp.clip(tjhi_s[gt] - 1 - ry, 0, lh - 2) + 1
+                uni = runi_s[gt] >= 0
+                # Row-uniform taps are served outside the walk: empty
+                # gate range so tap_body never fires for them.
+                tjlo_s[gt] = jnp.where(
+                    uni, 1, jnp.clip(tjlo_s[gt] - ry, 0, lh - 2)
+                )
+                tjhi_s[gt] = jnp.where(
+                    uni, 0, jnp.clip(tjhi_s[gt] - 1 - ry, 0, lh - 2) + 1
+                )
         return 0
 
     jax.lax.fori_loop(0, taps, rebase_tap, 0)
@@ -316,13 +353,86 @@ def _deform_band_kernel(
                 lsl = slice(tl * TILE_L, (tl + 1) * TILE_L)
                 rx = tile_rx(tl)
                 ry = rys_s[g * n_l + tl]
-                init_slab = jnp.concatenate(
-                    [crow(ry + s, rx) for s in range(TILE_S)],
-                    axis=0,
-                )
                 zero = jnp.zeros((TILE_S, TILE_L), jnp.float32)
 
                 interior = 1 <= tl <= n_l - 2
+
+                # --- row-uniform taps: the whole (TILE_S, TILE_L) patch
+                # samples window rows rr + s and rr + s + 1 (diagonal
+                # frame), i.e. two contiguous block reads — no walk.
+                def uni_tap(t, accs, g=g, c=c, rx=rx, lsl=lsl, tl=tl,
+                            interior=interior):
+                    gt = (g * taps + t) * n_l + tl
+
+                    def active(accs, t=t, g=g, c=c, rx=rx, lsl=lsl,
+                               tl=tl, gt=gt, interior=interior):
+                        sl = strip(t, g)
+                        rr = runi_s[gt]
+                        # Mosaic needs multi-row dynamic reads 8-aligned:
+                        # read the aligned 16-row block containing rows
+                        # rr..rr+TILE_S and sublane-roll to the offset.
+                        # rr <= rw - TILE_S - 2 (clipped in setup), so
+                        # rem = rr - qs <= 7 even at the rw - 16 clamp
+                        # and the 9 used rows never wrap.
+                        qs = pl.multiple_of(
+                            jnp.minimum((rr // 8) * 8, rw - 16), 8
+                        )
+                        rem = rr - qs
+                        blk16 = win_c[
+                            pl.ds(c, 1), pl.ds(qs, 16), pl.ds(rx, lw)
+                        ].reshape(16, lw)
+                        blk = pltpu.roll(blk16, (16 - rem) % 16, axis=0)
+                        b0 = blk[:TILE_S]
+                        b1 = blk[1 : TILE_S + 1]
+
+                        def quad_general(b0=b0, b1=b1, sl=sl, lsl=lsl):
+                            xl = xloc_s[sl, lsl]
+                            return (
+                                _lane_gather(b0, xl),
+                                _lane_gather(b0, xl + 1),
+                                _lane_gather(b1, xl),
+                                _lane_gather(b1, xl + 1),
+                            )
+
+                        def quad_uniform(b0=b0, b1=b1, gt=gt):
+                            lw_ = b0.shape[1]
+                            k = kuni_s[gt]
+                            s0 = (lw_ - k) % lw_
+                            r00 = pltpu.roll(b0, s0, axis=1)
+                            r01 = pltpu.roll(r00, lw_ - 1, axis=1)
+                            r10 = pltpu.roll(b1, s0, axis=1)
+                            r11 = pltpu.roll(r10, lw_ - 1, axis=1)
+                            return (
+                                r00[:, :TILE_L], r01[:, :TILE_L],
+                                r10[:, :TILE_L], r11[:, :TILE_L],
+                            )
+
+                        if interior:
+                            g00, g01, g10, g11 = jax.lax.cond(
+                                kuni_s[gt] >= 0, quad_uniform, quad_general
+                            )
+                        else:
+                            g00, g01, g10, g11 = quad_general()
+                        fx_t = fx_s[sl, lsl]
+                        fy_t = fy_s[sl, lsl]
+                        c0 = (1.0 - fx_t) * g00 + fx_t * g01
+                        c1 = (1.0 - fx_t) * g10 + fx_t * g11
+                        msk = tap_ref[
+                            0, 0, t, 2, pl.ds(g * TILE_S, TILE_S), lsl
+                        ]
+                        contrib = (
+                            (1.0 - fy_t) * c0 + fy_t * c1
+                        ) * msk
+                        return tuple(
+                            accs[o]
+                            + wt_ref[((wg * taps + t) * ch + c) * og + o]
+                            * contrib
+                            for o in range(og)
+                        )
+
+                    return jax.lax.cond(
+                        runi_s[gt] >= 0, active, lambda accs: accs, accs
+                    )
 
                 def j_body(j, carry, g=g, c=c, ry=ry, rx=rx,
                            lsl=lsl, interior=interior):
@@ -405,9 +515,28 @@ def _deform_band_kernel(
                     )
                     return (accs, slab)
 
-                accs, _ = jax.lax.fori_loop(
-                    0, jhi_s[g * n_l + tl], j_body,
-                    (tuple(zero for _ in range(og)), init_slab),
+                accs = jax.lax.fori_loop(
+                    0, taps, uni_tap, tuple(zero for _ in range(og))
+                )
+
+                # Slab walk only for the non-uniform remainder; an
+                # all-uniform tile (the zero-diversity floor, most tiles
+                # of a smooth trained field) skips slab init + shifts +
+                # per-j gating entirely.
+                def do_walk(accs, g=g, tl=tl, ry=ry, rx=rx,
+                            j_body=j_body):
+                    init_slab = jnp.concatenate(
+                        [crow(ry + s, rx) for s in range(TILE_S)],
+                        axis=0,
+                    )
+                    accs, _ = jax.lax.fori_loop(
+                        0, jhi_s[g * n_l + tl], j_body,
+                        (accs, init_slab),
+                    )
+                    return accs
+
+                accs = jax.lax.cond(
+                    jhi_s[g * n_l + tl] > 0, do_walk, lambda a: a, accs
                 )
                 for o in range(og):
                     osl = pl.ds(o * br + g * TILE_S, TILE_S)
@@ -486,6 +615,9 @@ def _deform_pallas_planar(imgp, off, wt, ch: int, og: int, ng: int,
             pltpu.SMEM(
                 (br // TILE_S * T * (W // TILE_L),), jnp.int32
             ),  # kuni (per group x tap x lane tile)
+            pltpu.SMEM(
+                (br // TILE_S * T * (W // TILE_L),), jnp.int32
+            ),  # runi (per group x tap x lane tile row-uniform rr)
             pltpu.SMEM((2,), jnp.int32),            # r_lo, qdx
             pltpu.SemaphoreType.DMA,
         ],
