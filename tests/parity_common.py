@@ -367,6 +367,57 @@ def flowguided_parity(hw=(128, 128), s=1.0, scale1=0.5, scale2=-0.5,
     return t
 
 
+def elic_parity(hw=(128, 192), stage2=False) -> StageTable:
+    """ELIC intra (the I-frame codec of every GOP): reference
+    ICIP2023/src/model/elic.py:87-306 (forward / forward_stage2) executed
+    vs tpuvc models/elic.py through the ``--family elic`` importer.
+    Covers the uneven-group checkerboard + channel-context entropy chain
+    (z bits and all five per-group y bits compared separately)."""
+    import torch
+
+    from refload import icip2023_elic
+
+    from tpuvc.utils.torch_import import import_elic_state_dict
+
+    mod = icip2023_elic()
+    torch.manual_seed(11)
+    ref = mod.ELIC().eval()
+
+    xn, _, _ = _frames_np((1,) + tuple(hw) + (3,), seed=11)
+    with torch.no_grad():
+        out_t = (
+            ref.forward_stage2(_nchw_torch(xn)) if stage2
+            else ref(_nchw_torch(xn))
+        )
+
+    sd = ref.state_dict()
+    params, rep = import_elic_state_dict(sd)
+    unmapped = rep.unused(sd)
+    assert not unmapped, f"importer left reference keys unused: {unmapped[:8]}"
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpuvc.entropy.emath import likelihood_to_bits
+    from tpuvc.models.elic import ELIC
+
+    model = ELIC()
+    variables = {"params": params}
+    out = jax.jit(
+        lambda v, x: model.apply(v, x, "dequantize", stage2=stage2)
+    )(variables, jnp.asarray(xn))
+
+    t = StageTable("elic" + ("_stage2" if stage2 else ""))
+    for k in ("z", "y_0", "y_1", "y_2", "y_3", "y_4"):
+        t.add(
+            f"bits_{k}",
+            [_bits({k: out_t["likelihoods"][k]})],
+            [float(likelihood_to_bits(out["likelihoods"][k]))],
+        )
+    t.add("x_hat", _nhwc(out_t["x_hat"]), np.asarray(out["x_hat"]))
+    return t
+
+
 def _ref_flow_l1(m, ref, captures, x1n, x2n, down_ratio):
     """Recompute the reference's post-processed L1 flow (estimate_flow
     wraps the hooked FlowNET output with pad/crop/scale, m.py:90-105)."""

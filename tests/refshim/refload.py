@@ -88,6 +88,16 @@ def icip2023_model():
     )
 
 
+def icip2023_elic():
+    """-> the reference ELIC intra module (ICIP2023/src/model/elic.py:87),
+    the I-frame codec both ICIP2023 and ICIP2024 evaluate with."""
+    return load_ref_package(
+        "ref_icip2023",
+        os.path.join(REFERENCE_ROOT, "ICIP2023", "src", "model"),
+        "elic",
+    )
+
+
 def icip2024_model():
     """-> the reference FlowGuidedB (v4) package entry (ICIP2024/src/model/m.py)."""
     return load_ref_package(

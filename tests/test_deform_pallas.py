@@ -86,6 +86,79 @@ class TestDeformSampleAccum:
         out = deform_sample_accum(img, flows, masks, weights, interpret=True)
         np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
 
+    def test_row_uniform_integer_grid(self, rng):
+        """Row-uniform fast path (uni_tap): a constant integer 3x3 tap
+        grid — the zero-diversity floor — makes every (8x128) patch
+        row-uniform, so ALL taps ride the direct-block-read path and the
+        slab walk is skipped entirely. The per-pixel-random existing
+        tests essentially never produce a row-uniform patch, so this is
+        the only interpret-mode coverage of the kernel's primary serving
+        regime (ADVICE r4)."""
+        B, H, W, C, Og = 1, 32, 384, 2, 2
+        img = jnp.asarray(rng.random((B, H, W, C), dtype=np.float32))
+        grid = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+        T = len(grid)
+        flows = jnp.asarray(
+            np.broadcast_to(
+                np.array(grid, np.float32).reshape(1, T, 1, 1, 2)[..., ::-1],
+                (B, T, H, W, 2),
+            ).copy()
+        )  # (dx, dy) layout per deform_sample_accum's contract
+        masks = jnp.asarray(rng.random((B, T, H, W), dtype=np.float32))
+        weights = jnp.asarray(
+            rng.standard_normal((T, C, Og), dtype=np.float32)
+        )
+        ref = _reference(img, flows, masks, weights)
+        out = deform_sample_accum(img, flows, masks, weights, interpret=True)
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+    def test_row_uniform_fractional(self, rng):
+        """Constant FRACTIONAL per-tap offsets: still row-uniform (the
+        integer sample row is constant per patch) but with nonzero fy/fx,
+        exercising uni_tap's bilinear blend and the quad_uniform
+        lane-roll column path on interior tiles."""
+        B, H, W, C, Og = 1, 32, 384, 2, 2
+        img = jnp.asarray(rng.random((B, H, W, C), dtype=np.float32))
+        consts = [(-1.3, 0.6), (0.4, -0.7), (1.6, 1.2)]
+        T = len(consts)
+        flows = jnp.asarray(
+            np.broadcast_to(
+                np.array(consts, np.float32).reshape(1, T, 1, 1, 2),
+                (B, T, H, W, 2),
+            ).copy()
+        )
+        masks = jnp.asarray(rng.random((B, T, H, W), dtype=np.float32))
+        weights = jnp.asarray(
+            rng.standard_normal((T, C, Og), dtype=np.float32)
+        )
+        ref = _reference(img, flows, masks, weights)
+        out = deform_sample_accum(img, flows, masks, weights, interpret=True)
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+    def test_row_uniform_mixed_field(self, rng):
+        """Uniform left half + per-pixel-jittered right half in the SAME
+        call: uniform patches take uni_tap (excluded from the walk
+        union), jittered patches walk — the union/exclusion bookkeeping
+        must keep both exact (ADVICE r4)."""
+        B, H, W, C, Og, T = 1, 32, 384, 2, 2, 3
+        img = jnp.asarray(rng.random((B, H, W, C), dtype=np.float32))
+        f = np.broadcast_to(
+            np.array([(0.0, 1.0), (1.0, 0.0), (-1.0, -1.0)], np.float32
+                     ).reshape(1, T, 1, 1, 2),
+            (B, T, H, W, 2),
+        ).copy()
+        f[:, :, :, W // 2 :, :] += (
+            rng.random((B, T, H, W // 2, 2), dtype=np.float32) - 0.5
+        ) * 5.0
+        flows = jnp.asarray(f)
+        masks = jnp.asarray(rng.random((B, T, H, W), dtype=np.float32))
+        weights = jnp.asarray(
+            rng.standard_normal((T, C, Og), dtype=np.float32)
+        )
+        ref = _reference(img, flows, masks, weights)
+        out = deform_sample_accum(img, flows, masks, weights, interpret=True)
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
     def test_zero_pad_semantics(self, rng):
         # large uniform shift: everything sampled from outside is zero
         B, H, W, C, T, Og = 1, 16, 32, 1, 1, 1

@@ -24,6 +24,7 @@ import pytest
 
 from parity_common import (
     deform_b_parity,
+    elic_parity,
     flexrate_parity,
     flowguided_parity,
     lhbdc_parity,
@@ -74,6 +75,22 @@ class TestDeformBParity:
         torchvision deform_conv2d semantics vs tpuvc's deform."""
         t = deform_b_parity()
         _check(t, {"x_hat": 1e-4, "size": 1.0, "rate": 1e-4})
+
+
+class TestElicParity:
+    def test_stage_by_stage(self):
+        """ELIC intra (the I-frame anchor of every GOP): uneven-group
+        checkerboard + channel-context entropy chain, z bits and all five
+        per-group y bits vs the executed reference
+        (ICIP2023/src/model/elic.py:188-245). Measured r5: x_hat max-abs
+        4.2e-7, bits_z exactly 0, group bits <= 3.1e-3 abs on ~1e2-bit
+        totals."""
+        t = elic_parity()
+        _check(t, {
+            "bits_z": 1.0, "bits_y_0": 1e-2, "bits_y_1": 1e-2,
+            "bits_y_2": 1e-2, "bits_y_3": 1.0, "bits_y_4": 1.0,
+            "x_hat": 1e-4,
+        })
 
 
 class TestFlowGuidedParity:

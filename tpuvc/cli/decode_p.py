@@ -79,16 +79,36 @@ def main(argv=None):
     dpb = None
     psnrs = []
     t0 = time.perf_counter()
-    for i, (typ, blob) in enumerate(seq.frames):
+    # Decode GOP-wise through the pipelined sequence path: each I anchor
+    # resets the DPB; the P run until the next I decodes with the MV /
+    # frame-latent / synthesis chains overlapped (decode_sequence).
+    decoded: list = []
+    run: list = []
+
+    def flush_run():
+        nonlocal dpb
+        if not run:
+            return
+        xs, dpb = p_coder.decode_sequence(dpb, run)
+        decoded.extend(("P", x) for x in xs)
+        run.clear()
+
+    for typ, blob in seq.frames:
         if typ == "I":
+            flush_run()
             bits = IFrameBitstream.deserialize(blob)
             dec = intra_coder.decompress(bits.to_strings(), bits.z_shape)
             dec = jnp.clip(dec, 0.0, 1.0)
             dpb = {"ref_frame": dec, "ref_feature": None,
                    "ref_down_ratio": 1.0}
+            decoded.append(("I", dec))
         else:
-            bits = PFrameBitstream.deserialize(blob)
-            dec, dpb = p_coder.decode(dpb, bits)
+            run.append(PFrameBitstream.deserialize(blob))
+    flush_run()
+
+    for i, ((typ, blob), (_, dec)) in enumerate(
+        zip(seq.frames, decoded)
+    ):
         img = np.asarray(jnp.clip(dec[0, :h, :w], 0.0, 1.0))
         img_u8 = np.clip(np.rint(img * 255.0), 0, 255).astype(np.uint8)
         path = os.path.join(args.out_dir, f"frame_{i:05d}.png")

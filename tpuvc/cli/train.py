@@ -213,7 +213,7 @@ def main(argv=None):
             n_pix = x.shape[0] * x.shape[1] * x.shape[2]
             mse = jnp.mean((out["x_hat"] - x) ** 2)
             aux = model.apply({"params": params}, method=ELIC.aux_loss)
-            return 0.0207 * 255**2 * mse + bits / n_pix + aux, {
+            return cfg.i_lambda * 255**2 * mse + bits / n_pix + aux, {
                 "mse": mse, "rate": bits / n_pix, "aux": aux,
             }
 

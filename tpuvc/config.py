@@ -116,6 +116,10 @@ class TrainConfig:
     #: LHBDC-family rate weight (lambda, LHBDC/encode_B.py:27); for
     #: ms_ssim use an MSSSIM_ALPHAS point (tpuvc.train.loss).
     alpha: float = 1626.0
+    #: ELIC intra rate weight (lambda in lambda*255^2*MSE + bpp; the
+    #: compressai-style quality grid — 0.0207 ~ mid-quality). Pairs with
+    #: an LHBDC-family alpha via i_lambda ~ alpha / 255^2.
+    i_lambda: float = 0.0207
     #: recursive-trainer rate weight (beta, ICIP2024 config.py:42).
     beta: float = 0.04
     #: DMC trainer: P-frames per cascaded step (batch windows are

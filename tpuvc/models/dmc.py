@@ -762,45 +762,126 @@ class PFrameDMCCoder:
         return fut.result(), new_dpb
 
     def decode(self, dpb: dict, bits):
-        """Decode one P-frame from the stream; returns (x_hat, new_dpb)."""
-        q = bits.q_milli / 1000.0
-        ratio = bits.ratio_centi / 100.0
-        mv_part_strs = bits.streams[0:4]
-        mv_z_str = bits.streams[4]
-        y_part_strs = bits.streams[5:9]
-        z_str = bits.streams[9]
-        batch = dpb["ref_frame"].shape[0]
-        zh, zw = bits.z_shape
-        y_shape = (batch, zh * 4, zw * 4, self.model.N)
+        """Decode one P-frame from the stream; returns (x_hat, new_dpb).
+        Single-frame view of ``decode_sequence`` (same compiled programs,
+        same order within each chain — one definition, no drift)."""
+        xs, new_dpb = self.decode_sequence(dpb, [bits])
+        return xs[0], new_dpb
 
-        mv_z_hat = self._decode_z("mv_coder", mv_z_str, bits.z_shape, batch)
-        mv_params0 = self._mv_fused(
-            self.variables, mv_z_hat, dpb.get("ref_mv_y")
-        )
-        mv_y_hat = self._dec_four_part(
-            y_shape, mv_params0, self._mv_part, mv_part_strs
-        )
-        mv_hat, mv_feature = self._mv_synthesis(
-            self.variables, mv_y_hat, ratio, q
-        )
+    def decode_sequence(self, dpb: dict, bits_list):
+        """Pipelined low-delay decode of a whole P-frame chain.
 
-        context, _ = self._compensate(
-            self.variables, dpb["ref_frame"], dpb.get("ref_feature"), mv_hat
-        )
-        z_hat = self._decode_z("y_coder", z_str, bits.z_shape, batch)
-        params0 = self._frame_fused(self.variables, z_hat, dpb.get("ref_y"))
-        y_hat = self._dec_four_part(
-            y_shape, params0, self._frame_part, y_part_strs
-        )
-        x_hat, feature = self._frame_synthesis(
-            self.variables, y_hat, context, q
-        )
-        new_dpb = {
-            "ref_frame": jnp.clip(x_hat, 0.0, 1.0),
-            "ref_feature": feature,
-            "ref_mv_feature": mv_feature,
-            "ref_y": y_hat,
-            "ref_mv_y": mv_y_hat,
-            "ref_down_ratio": ratio,
-        }
-        return x_hat, new_dpb
+        The per-frame ``decode`` serializes ~12 host<->device round trips
+        (2 z reads + 2 latents x 4 sequential part decodes, each a ~30 ms
+        relay ping) with the device tail, so the chain runs at relay
+        latency, not compute. But the two expensive chains are DECOUPLED
+        (OJSP2025/video_model.py:477-528 has the same structure): frame
+        k's MV-latent decode needs only frame k-1's ``mv_y_hat`` (the
+        temporal prior), and its frame-latent decode only k-1's ``y_hat``
+        — neither needs k-1's reconstruction. Only the device-only join
+        (compensate + synthesis, no host round trips) needs ``x_hat``
+        (k-1). So the MV chain, the frame-latent chain, and the synthesis
+        chain run on three workers with one-frame skew: every host fetch
+        overlaps the other chains' device work, and the relay pings of
+        the two entropy chains overlap each other.
+
+        Returns (x_hat_list, final_dpb) — bit-identical to folding
+        ``decode`` frame by frame (same compiled programs, same inputs,
+        in the same order within each chain).
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        mv_pool = ThreadPoolExecutor(max_workers=1)
+        y_pool = ThreadPoolExecutor(max_workers=1)
+        try:
+            batch = dpb["ref_frame"].shape[0]
+
+            def mv_stage(bits, ref_mv_y):
+                if isinstance(ref_mv_y, _FutureField):
+                    ref_mv_y = ref_mv_y.resolve()
+                q = bits.q_milli / 1000.0
+                ratio = bits.ratio_centi / 100.0
+                zh, zw = bits.z_shape
+                y_shape = (batch, zh * 4, zw * 4, self.model.N)
+                mv_z_hat = self._decode_z(
+                    "mv_coder", bits.streams[4], bits.z_shape, batch
+                )
+                mv_params0 = self._mv_fused(
+                    self.variables, mv_z_hat, ref_mv_y
+                )
+                mv_y_hat = self._dec_four_part(
+                    y_shape, mv_params0, self._mv_part, bits.streams[0:4]
+                )
+                mv_hat, mv_feature = self._mv_synthesis(
+                    self.variables, mv_y_hat, ratio, q
+                )
+                return mv_y_hat, mv_hat, mv_feature
+
+            def y_stage(bits, ref_y):
+                if isinstance(ref_y, _FutureField):
+                    ref_y = ref_y.resolve()
+                zh, zw = bits.z_shape
+                y_shape = (batch, zh * 4, zw * 4, self.model.N)
+                z_hat = self._decode_z(
+                    "y_coder", bits.streams[9], bits.z_shape, batch
+                )
+                params0 = self._frame_fused(self.variables, z_hat, ref_y)
+                return self._dec_four_part(
+                    y_shape, params0, self._frame_part, bits.streams[5:9]
+                )
+
+            # Seed chains from the DPB, then each chain advances on its
+            # OWN previous output; device values flow between threads as
+            # jax arrays (dispatch is thread-safe, data deps via arrays).
+            mv_futs, y_futs = [], []
+            prev_mv_y = dpb.get("ref_mv_y")
+            prev_y = dpb.get("ref_y")
+            for bits in bits_list:
+                f_mv = mv_pool.submit(mv_stage, bits, prev_mv_y)
+                mv_futs.append(f_mv)
+                prev_mv_y = _FutureField(f_mv, 0)
+                f_y = y_pool.submit(y_stage, bits, prev_y)
+                y_futs.append(f_y)
+                prev_y = _FutureField(f_y, None)
+
+            xs = []
+            cur = dpb
+            for bits, f_mv, f_y in zip(bits_list, mv_futs, y_futs):
+                q = bits.q_milli / 1000.0
+                ratio = bits.ratio_centi / 100.0
+                mv_y_hat, mv_hat, mv_feature = f_mv.result()
+                context, _ = self._compensate(
+                    self.variables, cur["ref_frame"],
+                    cur.get("ref_feature"), mv_hat,
+                )
+                y_hat = f_y.result()
+                x_hat, feature = self._frame_synthesis(
+                    self.variables, y_hat, context, q
+                )
+                cur = {
+                    "ref_frame": jnp.clip(x_hat, 0.0, 1.0),
+                    "ref_feature": feature,
+                    "ref_mv_feature": mv_feature,
+                    "ref_y": y_hat,
+                    "ref_mv_y": mv_y_hat,
+                    "ref_down_ratio": ratio,
+                }
+                xs.append(x_hat)
+            return xs, cur
+        finally:
+            mv_pool.shutdown(wait=False)
+            y_pool.shutdown(wait=False)
+
+
+class _FutureField:
+    """Lazy view of one element of a future's result, resolved inside the
+    consuming chain's own worker (keeps cross-chain handoff non-blocking
+    on the submitting thread)."""
+
+    def __init__(self, fut, index):
+        self._fut = fut
+        self._index = index
+
+    def resolve(self):
+        r = self._fut.result()
+        return r if self._index is None else r[self._index]

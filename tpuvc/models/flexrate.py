@@ -469,13 +469,18 @@ class FlexRateCoder:
         # _compensate) stay standalone so enc/dec remain bit-identical.
         from tpuvc.entropy.quant import quantize
 
-        def _flow_front_m(m, xb, xa, xc, n, l):
-            _, _, context = m.process(xb, xa)
+        def _flow_front_m(m, context, xc, n, l):
             x_input = jnp.concatenate([context, xc], axis=-1)
             return m.flow_compressor.gained_analysis(x_input, n, l)
 
-        def flow_front(v, xb, xa, xc, n, l):
-            y, z = model.apply(v, xb, xa, xc, n, l, method=_flow_front_m)
+        def flow_front(v, context, xc, n, l):
+            # ``context`` comes from the standalone ``_process`` graph (the
+            # decoder-shared program), computed ONCE per chunk by the
+            # caller and reused for both the MV analysis here and the
+            # compensation — the encoder previously ran the UNet flow
+            # prediction twice per chunk (fused here + standalone in
+            # _predict_batch).
+            y, z = model.apply(v, context, xc, n, l, method=_flow_front_m)
             med = jnp.asarray(self.flow_coder.z_tables.medians)
             z_sym = quantize(z, "symbols16", means=med)
             return y, z_sym, z_sym.astype(jnp.float32) + med
@@ -500,8 +505,12 @@ class FlexRateCoder:
         self.flow_coder.shard = shard
         self.res_coder.shard = shard
 
-    def _predict(self, x_before, x_after, mv_strings, mv_shape, n, l):
-        mv_before, mv_after, _ = self._process(self.variables, x_before, x_after)
+    def _predict(self, x_before, x_after, mv_strings, mv_shape, n, l,
+                 process=None):
+        mv_before, mv_after, _ = (
+            process if process is not None
+            else self._process(self.variables, x_before, x_after)
+        )
         flow_hat = self.flow_coder.decompress(mv_strings, mv_shape, n, l)
         return self._compensate(
             self.variables,
@@ -521,14 +530,16 @@ class FlexRateCoder:
         LHBDCCoder.encode_recon)."""
         from tpuvc.coder.container import BFrameBitstream
 
+        process = self._process(self.variables, x_before, x_after)
         mv = self.flow_coder.compress_from(
             *self._flow_front(
-                self.variables, x_before, x_after, x_current, n, l
+                self.variables, process[2], x_current, n, l
             ),
             n, l,
         )
         x_comp = self._predict(
-            x_before, x_after, mv["strings"], mv["shape"], n, l
+            x_before, x_after, mv["strings"], mv["shape"], n, l,
+            process=process,
         )
         res = self.res_coder.compress_from(
             *self._res_front(self.variables, x_current, x_comp, n, l), n, l
@@ -546,11 +557,16 @@ class FlexRateCoder:
         x_hat = x_comp + self.res_coder.synthesize(res["y_hat"], n, l)
         return bits, x_hat
 
-    def _predict_batch(self, x_before, x_after, flow_y_hat, n, l):
+    def _predict_batch(self, x_before, x_after, flow_y_hat, n, l,
+                       process=None):
         """Shared enc/dec batched prediction (same B-shaped graphs on both
-        sides — see LHBDCCoder._predict_batch)."""
-        mv_before, mv_after, _ = self._process(
-            self.variables, x_before, x_after
+        sides — see LHBDCCoder._predict_batch). ``process``: optional
+        precomputed standalone ``_process`` output; the encoder reuses its
+        own call bit-identically (same compiled program the decoder runs
+        here), halving the UNet flow-prediction cost per encode chunk."""
+        mv_before, mv_after, _ = (
+            process if process is not None
+            else self._process(self.variables, x_before, x_after)
         )
         flow_hat = self.flow_coder.synthesize(flow_y_hat, n, l)
         return self._compensate(
@@ -569,13 +585,16 @@ class FlexRateCoder:
             x_before, x_current, x_after = self.shard(
                 (x_before, x_current, x_after)
             )
+        process = self._process(self.variables, x_before, x_after)
         mv = self.flow_coder.compress_batch_async(
             *self._flow_front(
-                self.variables, x_before, x_after, x_current, n, l
+                self.variables, process[2], x_current, n, l
             ),
             n, l,
         )
-        x_comp = self._predict_batch(x_before, x_after, mv["y_hat"], n, l)
+        x_comp = self._predict_batch(
+            x_before, x_after, mv["y_hat"], n, l, process=process
+        )
         res = self.res_coder.compress_batch_async(
             *self._res_front(self.variables, x_current, x_comp, n, l), n, l
         )

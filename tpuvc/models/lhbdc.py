@@ -229,10 +229,12 @@ class LHBDCCoder:
             static_argnums=(5,),
         )
 
-    def _predict(self, x_before, x_after, mv_strings, mv_shape):
-        """Shared enc/dec prediction from refs + decoded MV stream."""
+    def _predict(self, x_before, x_after, mv_strings, mv_shape, flows=None):
+        """Shared enc/dec prediction from refs + decoded MV stream.
+        ``flows``: optional precomputed ``_motion_priors`` output (see
+        ``_predict_batch`` for why reuse is bit-exact)."""
         size = (x_before.shape[1] // 4, x_before.shape[2] // 4)
-        flow_ba, flow_ab = self._motion_priors(
+        flow_ba, flow_ab = flows if flows is not None else self._motion_priors(
             self.variables, x_before, x_after
         )
         flow_hat = self.mv_coder.decompress(mv_strings, mv_shape)
@@ -265,7 +267,10 @@ class LHBDCCoder:
                 self.variables, x_current, x_before, x_after, flow_ba, flow_ab
             )
         )
-        x_pred = self._predict(x_before, x_after, mv["strings"], mv["shape"])
+        x_pred = self._predict(
+            x_before, x_after, mv["strings"], mv["shape"],
+            flows=(flow_ba, flow_ab),
+        )
         res = self.res_coder.compress_from(
             *self._res_front(self.variables, x_current, x_pred)
         )
@@ -301,14 +306,22 @@ class LHBDCCoder:
         self.mv_coder.shard = shard
         self.res_coder.shard = shard
 
-    def _predict_batch(self, x_before, x_after, mv_y_hat):
+    def _predict_batch(self, x_before, x_after, mv_y_hat, flows=None):
         """Shared enc/dec batched prediction from refs + quantized MV
         latent. Every op runs at batch B — the decoder re-estimates flow
         from reconstructed references, so encoder and decoder MUST trace
         the same B-shaped graphs for the entropy decode to stay in sync
-        (VSequenceBitstream mode=1)."""
+        (VSequenceBitstream mode=1).
+
+        ``flows``: optional precomputed ``_motion_priors`` output for the
+        same (x_before, x_after). The encoder already ran that exact
+        jitted call for the MV front, and the decoder's recomputation here
+        invokes the SAME compiled program on the same inputs — bitwise
+        identical on TPU — so reusing the encoder's copy keeps enc/dec
+        bit-exact while saving a full 4-flow SPyNet pass per encode chunk
+        (~360 ms/chunk at 1080p B=4, PERF.md encode stage table)."""
         size = (x_before.shape[1] // 4, x_before.shape[2] // 4)
-        flow_ba, flow_ab = self._motion_priors(
+        flow_ba, flow_ab = flows if flows is not None else self._motion_priors(
             self.variables, x_before, x_after
         )
         flow_hat = self.mv_coder.synthesize(mv_y_hat)
@@ -343,7 +356,9 @@ class LHBDCCoder:
                 self.variables, x_current, x_before, x_after, flow_ba, flow_ab
             )
         )
-        x_pred = self._predict_batch(x_before, x_after, mv["y_hat"])
+        x_pred = self._predict_batch(
+            x_before, x_after, mv["y_hat"], flows=(flow_ba, flow_ab)
+        )
         res = self.res_coder.compress_batch_async(
             *self._res_front(self.variables, x_current, x_pred)
         )

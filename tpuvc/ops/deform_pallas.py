@@ -37,7 +37,13 @@ Semantics: torchvision zero padding outside the frame — the wrapper adds a
 tpuvc.ops.deform._warp_zero_pallas). Exactness domain per band: union row
 spread within the (rows_window - band_rows) margin and <= LOCAL_H - 2 per
 (row-group x lane-tile) patch, dx spread <= 126 px; beyond it sampling
-clamps to the window edge.
+clamps to the window edge. Near the frame BOTTOM the reach is tighter
+than the margin suggests: the last band's window is clipped to the padded
+frame, and samples beyond the rows_window - TILE_S - 2 diagonal clip
+truncate even when the band's union row spread is within SPREAD_MARGIN
+(ADVICE r4) — irrelevant to the codecs, whose wrapper pads the frame so
+in-image samples stay clear of the clip, but visible to direct callers
+with > ~80-px downward offsets in the bottom band.
 
 Channel layout (round 4): the kernel reads PLANAR (B, C, H, W) windows —
 one 3-D DMA per band fills the per-channel planes directly — instead of
@@ -371,21 +377,26 @@ def _deform_band_kernel(
                         # Mosaic needs multi-row dynamic reads 8-aligned:
                         # read the aligned 16-row block containing rows
                         # rr..rr+TILE_S and sublane-roll to the offset.
-                        # rr <= rw - TILE_S - 2 (clipped in setup), so
-                        # rem = rr - qs <= 7 even at the rw - 16 clamp
+                        # Row-uniformity implies rr <= rw - TILE_S - 9
+                        # (each of the patch's 8 diag rows was clipped to
+                        # <= rw - TILE_S - 2 before subtracting s_iota),
+                        # so (rr//8)*8 <= rw - 24 and the rw - 16 clamp
+                        # below is a defensive no-op; rem = rr - qs <= 7
                         # and the 9 used rows never wrap.
                         qs = pl.multiple_of(
                             jnp.minimum((rr // 8) * 8, rw - 16), 8
                         )
                         rem = rr - qs
-                        blk16 = win_c[
-                            pl.ds(c, 1), pl.ds(qs, 16), pl.ds(rx, lw)
-                        ].reshape(16, lw)
-                        blk = pltpu.roll(blk16, (16 - rem) % 16, axis=0)
-                        b0 = blk[:TILE_S]
-                        b1 = blk[1 : TILE_S + 1]
+                        shift = (16 - rem) % 16
 
-                        def quad_general(b0=b0, b1=b1, sl=sl, lsl=lsl):
+                        def quad_general(c=c, qs=qs, shift=shift, rx=rx,
+                                         sl=sl, lsl=lsl):
+                            blk16 = win_c[
+                                pl.ds(c, 1), pl.ds(qs, 16), pl.ds(rx, lw)
+                            ].reshape(16, lw)
+                            blk = pltpu.roll(blk16, shift, axis=0)
+                            b0 = blk[:TILE_S]
+                            b1 = blk[1 : TILE_S + 1]
                             xl = xloc_s[sl, lsl]
                             return (
                                 _lane_gather(b0, xl),
@@ -394,14 +405,32 @@ def _deform_band_kernel(
                                 _lane_gather(b1, xl + 1),
                             )
 
-                        def quad_uniform(b0=b0, b1=b1, gt=gt):
-                            lw_ = b0.shape[1]
+                        def quad_uniform(c=c, qs=qs, shift=shift, rx=rx,
+                                         gt=gt):
+                            # Uniform dx: only cols k..k+129 of the local
+                            # window are touched, so fold the 128-aligned
+                            # part of k into the read start and work on a
+                            # 2-tile (16 x 256) block instead of the full
+                            # lw — a third less VPU work on every read,
+                            # roll, and blend of the kernel's floor-
+                            # dominant path. kuni certifies k <= lw - 129
+                            # and rx <= w - lw, so rx + kq + 256 <= w.
+                            lw2 = 2 * TILE_L
                             k = kuni_s[gt]
-                            s0 = (lw_ - k) % lw_
+                            kq = (k // TILE_L) * TILE_L
+                            kr = k - kq
+                            rx2 = pl.multiple_of(rx + kq, TILE_L)
+                            blk16 = win_c[
+                                pl.ds(c, 1), pl.ds(qs, 16), pl.ds(rx2, lw2)
+                            ].reshape(16, lw2)
+                            blk = pltpu.roll(blk16, shift, axis=0)
+                            b0 = blk[:TILE_S]
+                            b1 = blk[1 : TILE_S + 1]
+                            s0 = (lw2 - kr) % lw2
                             r00 = pltpu.roll(b0, s0, axis=1)
-                            r01 = pltpu.roll(r00, lw_ - 1, axis=1)
+                            r01 = pltpu.roll(r00, lw2 - 1, axis=1)
                             r10 = pltpu.roll(b1, s0, axis=1)
-                            r11 = pltpu.roll(r10, lw_ - 1, axis=1)
+                            r11 = pltpu.roll(r10, lw2 - 1, axis=1)
                             return (
                                 r00[:, :TILE_L], r01[:, :TILE_L],
                                 r10[:, :TILE_L], r11[:, :TILE_L],
