@@ -323,7 +323,8 @@ def main():
     p.add_argument("--windows", type=int, default=1)
     p.add_argument("--frames", type=int, default=9, help="DMC chain length")
     p.add_argument("--adaptive", action="store_true",
-                   help="v4: per-frame down-ratio search (encode only)")
+                   help="v4: per-frame down-ratio search (sequential "
+                        "enc+dec; ratio rides the stream header)")
     p.add_argument("--hw", default="1088x1920")
     args = p.parse_args()
     args.h, args.w = (int(s) for s in args.hw.split("x"))

@@ -41,6 +41,32 @@ def test_uniform_large_pan():
     _check(img, flow)
 
 
+def test_uniform_fractional_interior_tiles():
+    """Row-uniform fast path (r5): constant FRACTIONAL flow on a 3-tile
+    width — interior tiles take quad_uniform (dynamic lane roll), edge
+    tiles quad_general, and the slab walk is skipped everywhere."""
+    img = _frames(1, 64, 384, 3)
+    flow = jnp.broadcast_to(
+        jnp.asarray([5.6, -3.3], jnp.float32), (1, 64, 384, 2)
+    )
+    _check(img, flow)
+
+
+def test_mixed_uniform_and_jittered():
+    """Uniform left half + jittered right half in one call: uniform
+    patches ride the direct-read path, jittered ones the walk, and both
+    must match the XLA reference (cf. deform's mixed-field test)."""
+    rng = np.random.default_rng(3)
+    img = _frames(1, 64, 384, 3, seed=4)
+    f = np.broadcast_to(
+        np.asarray([2.0, -1.0], np.float32), (1, 64, 384, 2)
+    ).copy()
+    f[:, :, 192:, :] += (
+        rng.random((1, 64, 192, 2), np.float32) - 0.5
+    ) * 6.0
+    _check(img, jnp.asarray(f))
+
+
 def test_smooth_varying_flow():
     h, w = 96, 256
     img = _frames(1, h, w, 3)

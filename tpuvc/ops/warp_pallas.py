@@ -118,6 +118,8 @@ def _warp_band_kernel(
     fy_s,
     rys_s,
     jhi_s,
+    runi_s,  # SMEM (n_s*n_l,): row-uniform diag coord rr, or -1
+    kuni_s,  # SMEM (n_s*n_l,): uniform-dx shift k, or -1
     rlo_s,
     sem,
 ):
@@ -179,12 +181,39 @@ def _warp_band_kernel(
         rr_g = rr[g * TILE_S : (g + 1) * TILE_S, :] - s_iota
         rloc_s[g * TILE_S : (g + 1) * TILE_S, :] = rr_g
         for tl in range(n_l):
-            blk = rr_g[:, tl * TILE_L : (tl + 1) * TILE_L]
-            ry_gt = jnp.clip(jnp.min(blk), 0, rw - TILE_S - 2)
-            rys_s[g * n_l + tl] = ry_gt
-            jhi_s[g * n_l + tl] = jnp.minimum(
-                jnp.max(blk) - ry_gt + 2, lh
+            lsl = slice(tl * TILE_L, (tl + 1) * TILE_L)
+            blk = rr_g[:, lsl]
+            tmn = jnp.min(blk)
+            tmx = jnp.max(blk)
+            gl = g * n_l + tl
+            ry_gt = jnp.clip(tmn, 0, rw - TILE_S - 2)
+            rys_s[gl] = ry_gt
+            # Row-uniform fast path (same pattern as the deform kernel's
+            # uni_tap, r4/r5): a constant integer sample row across the
+            # 8 x 128 patch — true for zero/uniform motion and for most
+            # patches of a smooth flow — is served by one aligned 16-row
+            # block read + sublane roll, and the slab walk (init + shifts
+            # + per-j gathers) is skipped entirely (jhi = 0).
+            runi = tmn == tmx
+            runi_s[gl] = jnp.where(runi, tmn, -1)
+            jhi_s[gl] = jnp.where(
+                runi, 0, jnp.minimum(tmx - ry_gt + 2, lh)
             )
+            # Uniform-dx detection (interior tiles only — edge tiles clamp
+            # window cols): window cols equal lane + k for one constant k
+            # => both bilinear column reads are dynamic lane rolls on a
+            # 2-tile block instead of lane gathers on the full window.
+            if 1 <= tl <= n_l - 2:
+                d = xloc_s[g * TILE_S : (g + 1) * TILE_S, lsl] - (
+                    icols[:TILE_S, lsl] % TILE_L
+                )
+                dmn = jnp.min(d)
+                uni = (dmn == jnp.max(d)) & (dmn >= 0) & (
+                    dmn <= lw - TILE_L - 1
+                )
+                kuni_s[gl] = jnp.where(uni, dmn, -1)
+            else:
+                kuni_s[gl] = -1
 
     # --- window DMA: one contiguous (rw, W*C) block ---
     copy = pltpu.make_async_copy(
@@ -220,7 +249,8 @@ def _warp_band_kernel(
             rsl = pl.ds(g * TILE_S, TILE_S)
             for tl in range(n_l):
                 lsl = slice(tl * TILE_L, (tl + 1) * TILE_L)
-                ry = rys_s[g * n_l + tl]
+                gl = g * n_l + tl
+                ry = rys_s[gl]
                 # rebase the window-relative diagonal coords onto this
                 # tile's walk; rows beyond the LOCAL_H cap truncate to the
                 # walk edge (per-patch exactness domain).
@@ -229,41 +259,112 @@ def _warp_band_kernel(
                 fx_t = fx_s[rsl, lsl]
                 fy_t = fy_s[rsl, lsl]
                 rx = tile_rx(tl)
+                interior = 1 <= tl <= n_l - 2
 
-                # Diagonal slab: output row s reads window row ry+j+s (its
-                # own sublane). Multi-row loads need 8-aligned dynamic
-                # sublane starts, so the slab is built from single-row
-                # loads ONCE and carried through the j loop with a one-row
-                # shift — one new row load per iteration.
-                init_slab = jnp.concatenate(
-                    [
-                        win_c[pl.ds(ry + s, 1), pl.ds(rx, lw)]
-                        for s in range(TILE_S)
-                    ],
-                    axis=0,
-                )
+                def uniform_path(gl=gl, rx=rx, xloc_t=xloc_t, fx_t=fx_t,
+                                 fy_t=fy_t, interior=interior):
+                    # One aligned 16-row block read + sublane roll serves
+                    # the whole patch (rows rr..rr+8 in the tap's own
+                    # diagonal frame); bit-identical to the walk (each
+                    # walk accumulator receives exactly one hit, added to
+                    # zero). rr <= rw - 10 (clip above) keeps rem <= 6.
+                    rr0 = runi_s[gl]
+                    qs = pl.multiple_of(
+                        jnp.minimum((rr0 // 8) * 8, rw - 16), 8
+                    )
+                    shift = (16 - (rr0 - qs)) % 16
 
-                def j_body(j, carry, ry=ry, rx=rx, rloc_t=rloc_t,
-                           xloc_t=xloc_t, fx_t=fx_t):
-                    a0, a1, slab = carry
-                    g0 = _lane_gather(slab, xloc_t)
-                    g1 = _lane_gather(slab, xloc_t + 1)
-                    c_row = (1.0 - fx_t) * g0 + fx_t * g1
-                    m0 = (rloc_t == j).astype(jnp.float32)
-                    m1 = (rloc_t == j - 1).astype(jnp.float32)
-                    row_new = win_c[
-                        pl.ds(ry + j + TILE_S, 1), pl.ds(rx, lw)
-                    ]
-                    slab = jnp.concatenate([slab[1:], row_new], axis=0)
-                    return (a0 + m0 * c_row, a1 + m1 * c_row, slab)
+                    def quad_general(qs=qs, shift=shift, rx=rx,
+                                     xloc_t=xloc_t):
+                        blk = pltpu.roll(
+                            win_c[pl.ds(qs, 16), pl.ds(rx, lw)],
+                            shift, axis=0,
+                        )
+                        b0 = blk[:TILE_S]
+                        b1 = blk[1 : TILE_S + 1]
+                        return (
+                            _lane_gather(b0, xloc_t),
+                            _lane_gather(b0, xloc_t + 1),
+                            _lane_gather(b1, xloc_t),
+                            _lane_gather(b1, xloc_t + 1),
+                        )
 
-                zero = jnp.zeros((TILE_S, TILE_L), jnp.float32)
-                a0, a1, _ = jax.lax.fori_loop(
-                    0, jhi_s[g * n_l + tl], j_body, (zero, zero, init_slab)
-                )
+                    def quad_uniform(qs=qs, shift=shift, rx=rx, gl=gl):
+                        # Uniform dx: fold the 128-aligned part of k into
+                        # the read start, work on a 2-tile block (see
+                        # deform_pallas.quad_uniform).
+                        lw2 = 2 * TILE_L
+                        k = kuni_s[gl]
+                        kq = (k // TILE_L) * TILE_L
+                        kr = k - kq
+                        rx2 = pl.multiple_of(rx + kq, TILE_L)
+                        blk = pltpu.roll(
+                            win_c[pl.ds(qs, 16), pl.ds(rx2, lw2)],
+                            shift, axis=0,
+                        )
+                        b0 = blk[:TILE_S]
+                        b1 = blk[1 : TILE_S + 1]
+                        s0 = (lw2 - kr) % lw2
+                        r00 = pltpu.roll(b0, s0, axis=1)
+                        r01 = pltpu.roll(r00, lw2 - 1, axis=1)
+                        r10 = pltpu.roll(b1, s0, axis=1)
+                        r11 = pltpu.roll(r10, lw2 - 1, axis=1)
+                        return (
+                            r00[:, :TILE_L], r01[:, :TILE_L],
+                            r10[:, :TILE_L], r11[:, :TILE_L],
+                        )
+
+                    if interior:
+                        g00, g01, g10, g11 = jax.lax.cond(
+                            kuni_s[gl] >= 0, quad_uniform, quad_general
+                        )
+                    else:
+                        g00, g01, g10, g11 = quad_general()
+                    c0 = (1.0 - fx_t) * g00 + fx_t * g01
+                    c1 = (1.0 - fx_t) * g10 + fx_t * g11
+                    return (1.0 - fy_t) * c0 + fy_t * c1
+
+                def walk_path(ry=ry, rx=rx, rloc_t=rloc_t, xloc_t=xloc_t,
+                              fx_t=fx_t, fy_t=fy_t, gl=gl):
+                    # Diagonal slab: output row s reads window row ry+j+s
+                    # (its own sublane). Multi-row loads need 8-aligned
+                    # dynamic sublane starts, so the slab is built from
+                    # single-row loads ONCE and carried through the j loop
+                    # with a one-row shift — one new row load per
+                    # iteration.
+                    init_slab = jnp.concatenate(
+                        [
+                            win_c[pl.ds(ry + s, 1), pl.ds(rx, lw)]
+                            for s in range(TILE_S)
+                        ],
+                        axis=0,
+                    )
+
+                    def j_body(j, carry, ry=ry, rx=rx, rloc_t=rloc_t,
+                               xloc_t=xloc_t, fx_t=fx_t):
+                        a0, a1, slab = carry
+                        g0 = _lane_gather(slab, xloc_t)
+                        g1 = _lane_gather(slab, xloc_t + 1)
+                        c_row = (1.0 - fx_t) * g0 + fx_t * g1
+                        m0 = (rloc_t == j).astype(jnp.float32)
+                        m1 = (rloc_t == j - 1).astype(jnp.float32)
+                        row_new = win_c[
+                            pl.ds(ry + j + TILE_S, 1), pl.ds(rx, lw)
+                        ]
+                        slab = jnp.concatenate([slab[1:], row_new], axis=0)
+                        return (a0 + m0 * c_row, a1 + m1 * c_row, slab)
+
+                    zero = jnp.zeros((TILE_S, TILE_L), jnp.float32)
+                    a0, a1, _ = jax.lax.fori_loop(
+                        0, jhi_s[gl], j_body, (zero, zero, init_slab)
+                    )
+                    return (1.0 - fy_t) * a0 + fy_t * a1
+
                 res_s[
                     pl.ds(c * BAND_ROWS + g * TILE_S, TILE_S), lsl
-                ] = (1.0 - fy_t) * a0 + fy_t * a1
+                ] = jax.lax.cond(
+                    runi_s[gl] >= 0, uniform_path, walk_path
+                )
         return 0
 
     jax.lax.fori_loop(0, ch, chan_body, 0)
@@ -340,6 +441,12 @@ def _warp_pallas_nhwc(img3, dx, dy, ch: int, interpret: bool = False):
             pltpu.SMEM(
                 (BAND_ROWS // TILE_S * (W // TILE_L),), jnp.int32
             ),  # jhi (per group x lane tile)
+            pltpu.SMEM(
+                (BAND_ROWS // TILE_S * (W // TILE_L),), jnp.int32
+            ),  # runi (per group x lane tile row-uniform rr)
+            pltpu.SMEM(
+                (BAND_ROWS // TILE_S * (W // TILE_L),), jnp.int32
+            ),  # kuni (per group x lane tile uniform-dx k)
             pltpu.SMEM((2,), jnp.int32),  # r_lo, qdx
             pltpu.SemaphoreType.DMA,
         ],
