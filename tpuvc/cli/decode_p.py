@@ -90,7 +90,10 @@ def main(argv=None):
         if not run:
             return
         xs, dpb = p_coder.decode_sequence(dpb, run)
-        decoded.extend(("P", x) for x in xs)
+        # fetch to host as each run completes: the PNG writer needs the
+        # pixels anyway, and long sequences must not pin every decoded
+        # frame in HBM
+        decoded.extend(("P", np.asarray(x)) for x in xs)
         run.clear()
 
     for typ, blob in seq.frames:
