@@ -366,12 +366,13 @@ def _deform_band_kernel(
                 # --- row-uniform taps: the whole (TILE_S, TILE_L) patch
                 # samples window rows rr + s and rr + s + 1 (diagonal
                 # frame), i.e. two contiguous block reads — no walk.
-                def uni_tap(t, accs, g=g, c=c, rx=rx, lsl=lsl, tl=tl,
+                def uni_tap(t, carry, g=g, c=c, rx=rx, lsl=lsl, tl=tl,
                             interior=interior):
                     gt = (g * taps + t) * n_l + tl
 
-                    def active(accs, t=t, g=g, c=c, rx=rx, lsl=lsl,
+                    def active(carry, t=t, g=g, c=c, rx=rx, lsl=lsl,
                                tl=tl, gt=gt, interior=interior):
+                        accs, blk_c, qs_p, sh_p, rx2_p = carry
                         sl = strip(t, g)
                         rr = runi_s[gt]
                         # Mosaic needs multi-row dynamic reads 8-aligned:
@@ -386,11 +387,12 @@ def _deform_band_kernel(
                         qs = pl.multiple_of(
                             jnp.minimum((rr // 8) * 8, rw - 16), 8
                         )
-                        rem = rr - qs
-                        shift = (16 - rem) % 16
+                        shift = (16 - (rr - qs)) % 16
 
                         def quad_general(c=c, qs=qs, shift=shift, rx=rx,
-                                         sl=sl, lsl=lsl):
+                                         sl=sl, lsl=lsl, blk_c=blk_c,
+                                         qs_p=qs_p, sh_p=sh_p,
+                                         rx2_p=rx2_p):
                             blk16 = win_c[
                                 pl.ds(c, 1), pl.ds(qs, 16), pl.ds(rx, lw)
                             ].reshape(16, lw)
@@ -399,14 +401,18 @@ def _deform_band_kernel(
                             b1 = blk[1 : TILE_S + 1]
                             xl = xloc_s[sl, lsl]
                             return (
-                                _lane_gather(b0, xl),
-                                _lane_gather(b0, xl + 1),
-                                _lane_gather(b1, xl),
-                                _lane_gather(b1, xl + 1),
+                                (
+                                    _lane_gather(b0, xl),
+                                    _lane_gather(b0, xl + 1),
+                                    _lane_gather(b1, xl),
+                                    _lane_gather(b1, xl + 1),
+                                ),
+                                blk_c, qs_p, sh_p, rx2_p,
                             )
 
                         def quad_uniform(c=c, qs=qs, shift=shift, rx=rx,
-                                         gt=gt):
+                                         gt=gt, blk_c=blk_c, qs_p=qs_p,
+                                         sh_p=sh_p, rx2_p=rx2_p):
                             # Uniform dx: only cols k..k+129 of the local
                             # window are touched, so fold the 128-aligned
                             # part of k into the read start and work on a
@@ -415,15 +421,33 @@ def _deform_band_kernel(
                             # roll, and blend of the kernel's floor-
                             # dominant path. kuni certifies k <= lw - 129
                             # and rx <= w - lw, so rx + kq + 256 <= w.
+                            # The rolled block is CACHED in the tap-loop
+                            # carry keyed on (qs, shift, rx2): taps with
+                            # the same integer sample row (the 3 same-dy
+                            # taps of the 3x3 grid at the floor, in
+                            # consecutive row-major tap order) reuse one
+                            # read + sublane roll.
                             lw2 = 2 * TILE_L
                             k = kuni_s[gt]
                             kq = (k // TILE_L) * TILE_L
                             kr = k - kq
                             rx2 = pl.multiple_of(rx + kq, TILE_L)
-                            blk16 = win_c[
-                                pl.ds(c, 1), pl.ds(qs, 16), pl.ds(rx2, lw2)
-                            ].reshape(16, lw2)
-                            blk = pltpu.roll(blk16, shift, axis=0)
+                            hit = (
+                                (qs_p == qs) & (sh_p == shift)
+                                & (rx2_p == rx2)
+                            )
+
+                            def reuse(blk_c=blk_c):
+                                return blk_c
+
+                            def load(c=c, qs=qs, shift=shift, rx2=rx2):
+                                blk16 = win_c[
+                                    pl.ds(c, 1), pl.ds(qs, 16),
+                                    pl.ds(rx2, lw2),
+                                ].reshape(16, lw2)
+                                return pltpu.roll(blk16, shift, axis=0)
+
+                            blk = jax.lax.cond(hit, reuse, load)
                             b0 = blk[:TILE_S]
                             b1 = blk[1 : TILE_S + 1]
                             s0 = (lw2 - kr) % lw2
@@ -432,16 +456,20 @@ def _deform_band_kernel(
                             r10 = pltpu.roll(b1, s0, axis=1)
                             r11 = pltpu.roll(r10, lw2 - 1, axis=1)
                             return (
-                                r00[:, :TILE_L], r01[:, :TILE_L],
-                                r10[:, :TILE_L], r11[:, :TILE_L],
+                                (
+                                    r00[:, :TILE_L], r01[:, :TILE_L],
+                                    r10[:, :TILE_L], r11[:, :TILE_L],
+                                ),
+                                blk, qs, shift, rx2,
                             )
 
                         if interior:
-                            g00, g01, g10, g11 = jax.lax.cond(
+                            quad, blk_n, qs_n, sh_n, rx2_n = jax.lax.cond(
                                 kuni_s[gt] >= 0, quad_uniform, quad_general
                             )
                         else:
-                            g00, g01, g10, g11 = quad_general()
+                            quad, blk_n, qs_n, sh_n, rx2_n = quad_general()
+                        g00, g01, g10, g11 = quad
                         fx_t = fx_s[sl, lsl]
                         fy_t = fy_s[sl, lsl]
                         c0 = (1.0 - fx_t) * g00 + fx_t * g01
@@ -452,15 +480,16 @@ def _deform_band_kernel(
                         contrib = (
                             (1.0 - fy_t) * c0 + fy_t * c1
                         ) * msk
-                        return tuple(
+                        accs = tuple(
                             accs[o]
                             + wt_ref[((wg * taps + t) * ch + c) * og + o]
                             * contrib
                             for o in range(og)
                         )
+                        return (accs, blk_n, qs_n, sh_n, rx2_n)
 
                     return jax.lax.cond(
-                        runi_s[gt] >= 0, active, lambda accs: accs, accs
+                        runi_s[gt] >= 0, active, lambda c_: c_, carry
                     )
 
                 def j_body(j, carry, g=g, c=c, ry=ry, rx=rx,
@@ -544,8 +573,13 @@ def _deform_band_kernel(
                     )
                     return (accs, slab)
 
-                accs = jax.lax.fori_loop(
-                    0, taps, uni_tap, tuple(zero for _ in range(og))
+                accs, _, _, _, _ = jax.lax.fori_loop(
+                    0, taps, uni_tap,
+                    (
+                        tuple(zero for _ in range(og)),
+                        jnp.zeros((16, 2 * TILE_L), jnp.float32),
+                        jnp.int32(-1), jnp.int32(-1), jnp.int32(-1),
+                    ),
                 )
 
                 # Slab walk only for the non-uniform remainder; an
