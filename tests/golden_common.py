@@ -268,9 +268,73 @@ def golden_cond_elic() -> dict:
     }
 
 
+def golden_kernel_uniform() -> dict:
+    """Direct kernel coverage of the row-uniform fast paths (ADVICE r4):
+    deform_sample_accum on the integer 3x3 tap grid plus a mixed
+    uniform/jittered field, and warp_pallas on a constant fractional
+    flow — the regimes the full-model cases (random-init fractional
+    offsets) essentially never hit. On the TPU backend this locks the
+    HARDWARE lowering of the uniform paths (dynamic sublane rolls,
+    2-tile lane rolls); on CPU it runs the interpreter. The record hashes
+    the raw output bytes; the psnr slot carries max-abs-diff vs the XLA
+    reference formulation (must stay ~1e-5)."""
+    import hashlib
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpuvc.ops.deform import _warp_zero_pad
+    from tpuvc.ops.deform_pallas import deform_sample_accum
+    from tpuvc.ops.warp_pallas import _warp_xla, warp_pallas
+
+    interp = jax.default_backend() not in ("tpu", "axon")
+    rng = _rng(21)
+    B, H, W, C, Og = 1, 32, 384, 2, 2
+    img = jnp.asarray(rng.random((B, H, W, C), dtype=np.float32))
+    grid = [(float(dx), float(dy)) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    T = len(grid)
+    f = np.broadcast_to(
+        np.array(grid, np.float32).reshape(1, T, 1, 1, 2), (B, T, H, W, 2)
+    ).copy()
+    # right half jittered: uniform and walk paths in one call
+    f[:, :, :, W // 2:, :] += (
+        rng.random((B, T, H, W // 2, 2), dtype=np.float32) - 0.5
+    ) * 5.0
+    flows = jnp.asarray(f)
+    masks = jnp.asarray(rng.random((B, T, H, W), dtype=np.float32))
+    weights = jnp.asarray(
+        rng.standard_normal((T, C, Og), dtype=np.float32)
+    )
+    out_d = deform_sample_accum(img, flows, masks, weights, interpret=interp)
+    ref_d = 0.0
+    for t in range(T):
+        s = _warp_zero_pad(img, flows[:, t]) * masks[:, t][..., None]
+        ref_d = ref_d + jnp.einsum("bhwc,co->bhwo", s, weights[t])
+
+    img3 = jnp.asarray(rng.random((1, 32, 384, 3), dtype=np.float32))
+    wflow = jnp.broadcast_to(
+        jnp.asarray([5.6, -3.3], jnp.float32), (1, 32, 384, 2)
+    )
+    out_w = warp_pallas(img3, wflow, 1.0, 1.0, interp)
+    ref_w = _warp_xla(img3, wflow, 1.0, 1.0)
+
+    blob = np.asarray(out_d).tobytes() + np.asarray(out_w).tobytes()
+    max_abs = max(
+        float(jnp.max(jnp.abs(out_d - ref_d))),
+        float(jnp.max(jnp.abs(out_w - ref_w))),
+    )
+    return {
+        "stream_sha256": hashlib.sha256(blob).hexdigest(),
+        "stream_len": len(blob),
+        "psnr": round(max_abs, 6),  # max-abs vs XLA reference, not a PSNR
+    }
+
+
 CASES = {
     "lhbdc": golden_lhbdc,
     "cond_elic": golden_cond_elic,
+    "kernel_uniform": golden_kernel_uniform,
     "lhbdc_mid": golden_lhbdc_mid,
     "flexrate": golden_flexrate,
     "deform_b": golden_deform_b,
