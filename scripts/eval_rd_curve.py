@@ -149,7 +149,15 @@ def likelihood_point(alpha: int, clip: str) -> dict:
     b_fwd = jax.jit(
         lambda v, r1, xc, r2: b_model.apply(v, r1, xc, r2, "dequantize")
     )
-    i_fwd = jax.jit(lambda v, x: i_model.apply(v, x, "dequantize"))
+    # stage2=True: price (and reconstruct) the intra frame the way the
+    # real coder does — groups rounded AROUND MEANS into g_s/context
+    # (forward_stage2 semantics). The stage-1 forward's around-zero recon
+    # is a training-time approximation the bitstream path never produces;
+    # pricing against it overstated the stream gap by ~30 points and its
+    # better refs underpriced every downstream B frame (r5 diagnosis).
+    i_fwd = jax.jit(
+        lambda v, x: i_model.apply(v, x, "dequantize", stage2=True)
+    )
 
     order, typ = sequence_schedule(16, N_FRAMES)
     dpb = DecodedPictureBuffer()

@@ -205,7 +205,10 @@ def main(argv=None):
 
         def loss_fn(params, batch, key):
             x = batch[:, 0]
-            out = model.apply({"params": params}, x, "noise", rng=key)
+            out = model.apply(
+                {"params": params}, x, "noise", rng=key,
+                stage2=cfg.i_stage2,
+            )
             bits = sum(
                 -jnp.sum(jnp.log2(jnp.maximum(l, 1e-9)))
                 for l in out["likelihoods"].values()

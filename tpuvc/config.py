@@ -120,6 +120,15 @@ class TrainConfig:
     #: compressai-style quality grid — 0.0207 ~ mid-quality). Pairs with
     #: an LHBDC-family alpha via i_lambda ~ alpha / 255^2.
     i_lambda: float = 0.0207
+    #: ELIC intra: train with the coding-consistent stage-2 rounding
+    #: (forward_stage2 semantics, ICIP2023/src/model/elic.py:247-306 —
+    #: groups quantized AROUND MEANS feed g_s and the channel context,
+    #: exactly as the real coder reconstructs). Stage-1-only training
+    #: tunes g_s for around-zero latents, which the real bitstream path
+    #: never produces: measured 7.4 dB real-vs-forward intra recon drop
+    #: at 2k-step weights (PERF.md r5 gap diagnosis). The reference's
+    #: own schedule finetunes with forward_stage2 for the same reason.
+    i_stage2: bool = True
     #: recursive-trainer rate weight (beta, ICIP2024 config.py:42).
     beta: float = 0.04
     #: DMC trainer: P-frames per cascaded step (batch windows are
