@@ -9,6 +9,9 @@ level-batched encode producing rANS streams (flows + MV codec + warps +
 mask + residual codec + host rANS), then the batched decode of those
 streams, with decode bit-exactness asserted. fps counts each B-frame once
 through encode AND once through decode: fps = 2*frames/(t_enc + t_dec).
+Coding graphs trace under bf16 layer compute (r5; ``TPUVC_BENCH_DTYPE``
+overrides) — the same policy the CLIs expose as ``--compute_dtype``, with
+bit-exact decode still asserted per window.
 
 Driver-window discipline (round-2 lesson: BENCH_r02 was rc=124 because
 warm-up took ~29 min loading ~9 coder graphs x 3 batch shapes through the
@@ -76,7 +79,17 @@ def main():
     from tpuvc.coder.container import BFrameBitstream
     from tpuvc.gop.order import gop_coding_table
     from tpuvc.models.lhbdc import LHBDC, LHBDCCoder
-    from tpuvc.ops.precision import mixed_precision
+    from tpuvc.ops.precision import mixed_precision, policy_from_name
+
+    # Coding-path compute policy (r5): bf16 layer compute for the REAL
+    # coding graphs too, not just the eval forward. Convs (the codec's
+    # FLOPs) run ~23% faster in bf16 on this part (microbench below) and
+    # activation traffic halves; the enc/dec bit-exactness contract is
+    # unaffected because BOTH sides trace their shared graphs under the
+    # same policy (the stream header records the dtype in the CLI path,
+    # and the assert below verifies it here). TPUVC_BENCH_DTYPE=float32
+    # restores the r4-and-earlier f32 headline configuration.
+    bench_dtype = os.environ.get("TPUVC_BENCH_DTYPE", "bfloat16")
 
     model = LHBDC(N=128)
     h, w = 1088, 1920  # 1080p padded to x64
@@ -186,6 +199,11 @@ def main():
                 outs[f] = x_hat[k : k + 1]
         return outs
 
+    # The policy wraps the call sites: the coder graphs TRACE under it
+    # during warm-up and the cached programs serve the measured windows
+    # (tpuvc.ops.precision module doc — policy is read at trace time).
+    _policy = policy_from_name(bench_dtype)
+    _policy.__enter__()
     warm_bits, warm_recons = code_window()  # load/compile encode graphs
     dec_out = decode_window(warm_bits)      # load/compile decode graphs
     bit_exact = all(
@@ -210,6 +228,7 @@ def main():
             "measured_windows": nwin,
             "padded_compute_pct": round(100 * 2 / (n_real + 2), 2),
             "warmup_s": round(warm_s, 1),
+            "compute_dtype": bench_dtype,
             "anchor_cpu_fps": ANCHOR_CPU_FPS,
             "anchor_measured_1thread_fps": ANCHOR_MEASURED_1THREAD_FPS,
         }
