@@ -326,27 +326,38 @@ def main():
                    help="v4: per-frame down-ratio search (sequential "
                         "enc+dec; ratio rides the stream header)")
     p.add_argument("--hw", default="1088x1920")
+    p.add_argument("--compute_dtype", choices=["float32", "bfloat16"],
+                   default="bfloat16",
+                   help="layer compute policy for the coding graphs "
+                        "(bench.py's r5 default; float32 reproduces the "
+                        "r4 table's configuration)")
     args = p.parse_args()
     args.h, args.w = (int(s) for s in args.hw.split("x"))
     if args.max_batch is None:
         args.max_batch = 4 if args.family == "flexrate" else 2
 
+    from tpuvc.ops.precision import policy_from_name
+
     small = jnp.zeros((1, 192, 192, 3), jnp.float32)
     coder = build(args.family, small)
-    if args.family == "dmc":
-        r = run_dmc(args, coder)
-    elif args.adaptive:
-        if args.family != "flowguided_b":
-            raise SystemExit("--adaptive is a v4 mode")
-        r = run_v4_adaptive(args, coder)
-    else:
-        r = run_bframe(args, coder)
+    # Trace-time policy: wrap warm-up AND timed windows in one context so
+    # every coder graph bakes the same dtype (enc/dec bit-identity).
+    with policy_from_name(args.compute_dtype):
+        if args.family == "dmc":
+            r = run_dmc(args, coder)
+        elif args.adaptive:
+            if args.family != "flowguided_b":
+                raise SystemExit("--adaptive is a v4 mode")
+            r = run_v4_adaptive(args, coder)
+        else:
+            r = run_bframe(args, coder)
 
     nf = r.pop("n_frames")
     t_enc, t_dec = r.pop("t_enc"), r.pop("t_dec")
     out = {
         "family": args.family + ("-adaptive" if args.adaptive else ""),
         "hw": args.hw,
+        "compute_dtype": args.compute_dtype,
         "encode_fps": round(nf / t_enc, 3),
         "decode_fps": (
             round(nf / t_dec, 3) if t_dec == t_dec else None

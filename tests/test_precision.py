@@ -99,3 +99,57 @@ def test_policy_is_trace_time(lhbdc_small):
     with precision.mixed_precision():
         jfwd(variables, x, x, x)
     assert calls == [jnp.bfloat16]
+
+
+def test_policy_propagates_to_async_workers(lhbdc_small):
+    """Enc/dec bit-identity under bf16 when the DECODER's shared graphs
+    first-trace on an async worker thread.
+
+    decode_v's pipelined entropy decode runs ``decompress_batch`` on the
+    async pool; in a fresh decoder process that is the FIRST call of the
+    shared ``_params_idx`` graph. The policy is a contextvar read at trace
+    time, so the pool must run tasks under the submitter's context — a
+    bare worker would trace f32 against the encoder's bf16 program and
+    desync the rANS decode (tpuvc.coder.parallel._CtxPool)."""
+    from tpuvc.models.lhbdc import LHBDCCoder
+
+    model, variables = lhbdc_small
+    yy, xx = np.mgrid[0:64, 0:64].astype(np.float32) / 64.0
+    frames = [
+        jnp.asarray(
+            np.stack(
+                [np.sin(3 * xx + 0.1 * i), np.cos(2 * yy - 0.1 * i), xx * yy],
+                axis=-1,
+            )[None]
+            * 0.5
+            + 0.5
+        )
+        for i in range(3)
+    ]
+    ref1 = jnp.concatenate([frames[0], frames[0]], axis=0)
+    ref2 = jnp.concatenate([frames[2], frames[2]], axis=0)
+    cur = jnp.concatenate([frames[1], frames[1]], axis=0)
+
+    with precision.mixed_precision():
+        from tpuvc.coder.parallel import async_pool, host_pool
+
+        # The direct contract: pool tasks run under the submitter's
+        # context (a bare ThreadPoolExecutor returns None here).
+        assert (
+            async_pool().submit(precision.compute_dtype).result()
+            == jnp.bfloat16
+        )
+        assert (
+            host_pool().submit(precision.compute_dtype).result()
+            == jnp.bfloat16
+        )
+        enc = LHBDCCoder(model, variables)
+        bitstreams, x_hat_enc = enc.encode_level_batch(ref1, cur, ref2)
+        # Fresh coder = fresh jit wrappers, like the decode_v process: the
+        # worker-side decompress is the first trace of its shared graphs.
+        dec = LHBDCCoder(model, variables)
+        fut = dec.decode_level_batch_async(bitstreams)
+        x_hat_dec = fut(ref1, ref2)
+    np.testing.assert_array_equal(
+        np.asarray(x_hat_enc), np.asarray(x_hat_dec)
+    )
